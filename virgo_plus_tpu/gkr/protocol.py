@@ -1,0 +1,423 @@
+"""The Virgo++ GKR protocol for unlayered circuits: prover and verifier.
+
+Functional re-design of the reference's co-resident prover/verifier objects
+(/root/reference/src/prover.cpp, src/verifier.cpp): challenges are an explicit
+schedule precomputed per circuit shape (the reference's F::random() stream is
+message-independent, so the whole prover becomes one feed-forward device
+computation), the proof is an explicit pytree, and verification replays the
+succinct checks plus vectorized predicate sweeps.
+
+Layer walk (verifier.cpp:134-189): output MLE fold (Vres), then per layer
+phase-1 sumcheck over the left input, phase-2 over right inputs grouped by
+source layer (the "unlayered" part), a wiring-predicate consistency check,
+and the Liu claim-merging sumcheck; the surviving claim about the input layer
+is discharged by the polynomial commitment (pc/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import gf
+from ..utils.glibc_rand import GlibcRandom
+from .beta import beta_table
+from .sumcheck import (ScatterPlan, scan_sumcheck, eval_quad,
+                       quad_at_0_plus_1, mle_fold, tree_sum)
+from ..circuits.compile import CompiledCircuit
+
+MOD = gf.MOD
+
+
+# ---------------------------------------------------------------------------
+# Challenge schedule (exact draw order of verifier.cpp / fieldElement::random)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass
+class LayerChallenges:
+    r_u: jnp.ndarray        # (4, max_bl)
+    assert_r: jnp.ndarray   # (4,)
+    r_v: Optional[jnp.ndarray]   # (4, maxDadBl) or None
+    sig: jnp.ndarray        # (4, depth)
+    r_liu: jnp.ndarray      # (4, max_bl)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Challenges:
+    r_out: jnp.ndarray      # (4, bl_last)
+    layers: List[Optional[LayerChallenges]]  # index by layer; [0] unused
+
+
+def _draw(rng: GlibcRandom, n: int):
+    vals = np.zeros((2, n), dtype=np.uint64)
+    for k in range(n):
+        r, i = rng.field_element()
+        vals[0, k], vals[1, k] = r, i
+    return gf.from_u64(vals[0], vals[1])
+
+
+def make_challenges(cc: CompiledCircuit, rng: Optional[GlibcRandom] = None
+                    ) -> Challenges:
+    """Draw order: r_out (bl_last); per layer top..1: r_u (max_bl),
+    assert_random (1), r_v (maxDadBl, only if layer has dads), sig (depth),
+    r_liu (max_bl).  Matches verifier.cpp:144,196,202,236,278-279."""
+    if rng is None:
+        rng = GlibcRandom(3396)
+    depth = cc.depth
+    r_out = _draw(rng, cc.layers[depth - 1].bit_length)
+    layers: List[Optional[LayerChallenges]] = [None] * depth
+    for i in range(depth - 1, 0, -1):
+        r_u = _draw(rng, cc.max_bl)
+        assert_r = _draw(rng, 1)[:, 0]
+        mdb = cc.layers[i].max_dad_bit_length
+        r_v = _draw(rng, mdb) if mdb >= 0 else None
+        sig = _draw(rng, depth)
+        r_liu = _draw(rng, cc.max_bl)
+        layers[i] = LayerChallenges(r_u, assert_r, r_v, sig, r_liu)
+    return Challenges(r_out=r_out, layers=layers)
+
+
+# ---------------------------------------------------------------------------
+# Compile-time scatter plans (kept outside CompiledCircuit so the circuits
+# package stays protocol-agnostic)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LayerPlans:
+    p1: ScatterPlan
+    p2: Optional[ScatterPlan]
+    # Liu scatter for pre-layer i-1: contributions from consumers j>=i
+    liu_consumers: list          # [(j, dad_size, dad_bl, offset)]
+    liu_plan: Optional[ScatterPlan]
+
+
+def build_plans(cc: CompiledCircuit) -> List[Optional[LayerPlans]]:
+    src = cc.source
+    plans: List[Optional[LayerPlans]] = [None] * cc.depth
+    for i in range(1, cc.depth):
+        L = cc.layers[i]
+        pre_padded = cc.layers[i - 1].padded
+        p1 = ScatterPlan.build(np.asarray(L.x_idx), pre_padded)
+        p2 = None
+        if L.max_dad_bit_length >= 0:
+            p2 = ScatterPlan.build(np.asarray(L.p2_flat_idx),
+                                   L.dad_padded_total)
+        # Liu for pre layer i-1: consumers j in [i, depth)
+        consumers = []
+        idx_parts = []
+        off = 0
+        for j in range(i, cc.depth):
+            Lj = src.layers[j]
+            ds = Lj.dad_size[i - 1] if i - 1 < len(Lj.dad_size) else 0
+            if ds > 0:
+                consumers.append((j, ds, Lj.dad_bit_length[i - 1], off))
+                idx_parts.append(Lj.dad_id[i - 1])
+                off += ds
+        liu_plan = None
+        if idx_parts:
+            liu_plan = ScatterPlan.build(np.concatenate(idx_parts), pre_padded)
+        plans[i] = LayerPlans(p1=p1, p2=p2, liu_consumers=consumers,
+                              liu_plan=liu_plan)
+    return plans
+
+
+# ---------------------------------------------------------------------------
+# Prover
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass
+class LayerProof:
+    p1_polys: jnp.ndarray          # (bl_prev, 4, 3)
+    claim_u: jnp.ndarray           # (4,)
+    p2_polys: Optional[jnp.ndarray]   # (maxDadBl, 4, 3)
+    claims_v: Optional[jnp.ndarray]   # (i, 4) one claim per source layer
+    liu_polys: jnp.ndarray         # (bl_prev, 4, 3)
+    liu_claim: jnp.ndarray         # (4,)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Proof:
+    vres: jnp.ndarray              # (4,)
+    layers: List[Optional[LayerProof]]
+
+
+def _values_block(cc, values, i):
+    off = int(cc.value_off[i])
+    return values[:, off:off + cc.layers[i].padded]
+
+
+def _scale_beta_asserts(cc, i, bg, assert_r):
+    L = cc.layers[i]
+    if not L.has_assert:
+        return bg
+    mask = np.zeros(bg.shape[1], dtype=bool)
+    mask[:L.size] = L.is_assert
+    scaled = gf.mul(bg, assert_r[:, None])
+    return jnp.where(jnp.asarray(mask)[None, :], scaled, bg)
+
+
+def prove_layer(cc: CompiledCircuit, plans, i: int, values, r_cur,
+                ch: LayerChallenges, ch_all: Challenges):
+    """Prove one layer (phases 1, 2, Liu). r_cur: (4, bl_i) claim point."""
+    L = cc.layers[i]
+    P = plans[i]
+    bl_prev = cc.layers[i - 1].bit_length
+    one = gf.ones(())
+
+    # ---- phase 1 init (prover.cpp:189-280) ----
+    bg_full = beta_table(r_cur, L.bit_length, one)
+    bg_full = _scale_beta_asserts(cc, i, bg_full, ch.assert_r)
+    bg = bg_full[:, :L.size]
+    y = values[:, L.y_idx]
+    A, B, C, D = L.coeff[0], L.coeff[1], L.coeff[2], L.coeff[3]
+    add_c = gf.mul(bg, gf.add(gf.mul(B, y), D))
+    mult_c = gf.mul(bg, gf.add(A, gf.mul(C, y)))
+    tmp_add = P.p1.apply(add_c)
+    tmp_mult = P.p1.apply(mult_c)
+    tmp_v = _values_block(cc, values, i - 1)
+
+    p1_polys, (claim_u, _, _) = scan_sumcheck(
+        tmp_v, tmp_add, tmp_mult, ch.r_u[:, :bl_prev])
+
+    # ---- phase 2 (prover.cpp:282-367) ----
+    p2_polys = None
+    claims_v = None
+    if L.max_dad_bit_length >= 0:
+        mdb = L.max_dad_bit_length
+        beta_u = beta_table(ch.r_u[:, :bl_prev], bl_prev, one)
+        tmp_g = gf.mul(bg, beta_u[:, L.x_idx])
+        cu = claim_u[:, None]
+        addv_c = gf.mul(tmp_g, gf.add(gf.mul(A, cu), D))
+        multv_c = gf.mul(tmp_g, gf.add(B, gf.mul(C, cu)))
+        addV = P.p2.apply(addv_c)
+        multV = P.p2.apply(multv_c)
+        dg = L.dad_gather_idx
+        vdad = jnp.where(jnp.asarray(np.asarray(dg) >= 0)[None, :],
+                         values[:, jnp.clip(dg, 0)], 0)
+
+        # per-source-table sumchecks
+        table_polys = {}     # l -> (bl_l, 4, 3)
+        bounds = {}          # l -> (v, a, m) bound scalars
+        for li in range(i):
+            ds = L.dad_sizes[li]
+            if ds == 0:
+                continue
+            bl_l = L.dad_bls[li]
+            off = L.dad_offsets[li]
+            sl = slice(off, off + (1 << bl_l))
+            polys_l, b_l = scan_sumcheck(vdad[:, sl], addV[:, sl],
+                                         multV[:, sl], ch.r_v[:, :bl_l])
+            table_polys[li] = polys_l
+            bounds[li] = b_l
+
+        # combine rounds with the add_term chain (prover.cpp:436-492)
+        zero = jnp.zeros((2,), jnp.uint64)
+        a_term = zero
+        out_polys = []
+        for j in range(mdb):
+            if j > 0:
+                a_term = gf.mul(a_term, gf.sub(one, ch.r_v[:, j - 1]))
+            pj = jnp.zeros((2, 3), jnp.uint64)
+            for li, polys_l in table_polys.items():
+                bl_l = L.dad_bls[li]
+                if j < bl_l:
+                    pj = gf.add(pj, polys_l[j])
+                elif j == bl_l:
+                    vb, ab, mb = bounds[li]
+                    a_term = gf.add(a_term, gf.add(gf.mul(vb, mb), ab))
+            # tables with bl_l == 0 enter at round 0 (handled above since
+            # j == bl_l == 0)
+            pj = gf.add(pj, jnp.stack(
+                [zero, gf.neg(a_term), a_term], axis=1))
+            out_polys.append(pj)
+        p2_polys = (jnp.stack(out_polys) if out_polys
+                    else jnp.zeros((0, 2, 3), jnp.uint64))
+
+        # claims per source layer (prover.cpp:504-516): bound V for real
+        # tables, zero for empty ones
+        cl = []
+        for li in range(i):
+            if L.dad_sizes[li] > 0:
+                cl.append(bounds[li][0])
+            else:
+                cl.append(zero)
+        claims_v = jnp.stack(cl) if cl else jnp.zeros((0, 2), jnp.uint64)
+
+    # ---- Liu (prover.cpp:369-420) ----
+    sig = ch.sig
+    bsig = beta_table(ch.r_u[:, :bl_prev], bl_prev, sig[:, 0])
+    pre_size = cc.layers[i - 1].size
+    multL = jnp.pad(bsig[:, :pre_size],
+                    ((0, 0), (0, cc.layers[i - 1].padded - pre_size)))
+    if P.liu_plan is not None:
+        parts = []
+        for (j, ds, bl_jl, off) in P.liu_consumers:
+            ch_j = ch_all.layers[j]
+            bt = beta_table(ch_j.r_v[:, :bl_jl], bl_jl, sig[:, j - i + 1])
+            parts.append(bt[:, :ds])
+        contr = jnp.concatenate(parts, axis=1)
+        multL = gf.add(multL, P.liu_plan.apply(contr))
+    addL = jnp.zeros_like(multL)
+    liu_polys, (liu_claim, _, _) = scan_sumcheck(
+        tmp_v, addL, multL, ch.r_liu[:, :bl_prev])
+
+    return LayerProof(p1_polys=p1_polys, claim_u=claim_u,
+                      p2_polys=p2_polys, claims_v=claims_v,
+                      liu_polys=liu_polys, liu_claim=liu_claim)
+
+
+def prove(cc: CompiledCircuit, plans, values, ch: Challenges) -> Proof:
+    """Full GKR proof. `values` = evaluated circuit buffer."""
+    depth = cc.depth
+    vres = mle_fold(_values_block(cc, values, depth - 1), ch.r_out)
+    layer_proofs: List[Optional[LayerProof]] = [None] * depth
+    r_cur = ch.r_out
+    for i in range(depth - 1, 0, -1):
+        lp = prove_layer(cc, plans, i, values, r_cur, ch.layers[i], ch)
+        layer_proofs[i] = lp
+        r_cur = ch.layers[i].r_liu[:, :cc.layers[i - 1].bit_length]
+    return Proof(vres=vres, layers=layer_proofs)
+
+
+# ---------------------------------------------------------------------------
+# Verifier
+# ---------------------------------------------------------------------------
+
+def _check_round_chain(polys, rs, previous_sum):
+    """Check p_j(0)+p_j(1) == prev and chain prev = p_j(r_j).
+    Returns (ok (bool array), final previous_sum)."""
+    ok = jnp.bool_(True)
+    for j in range(polys.shape[0]):
+        s = quad_at_0_plus_1(polys[j])
+        ok = ok & jnp.all(s == previous_sum)
+        previous_sum = eval_quad(polys[j], rs[:, j])
+    return ok, previous_sum
+
+
+def verify_layer(cc: CompiledCircuit, i: int, lp: LayerProof,
+                 r_cur, ch: LayerChallenges, previous_sum,
+                 proof: "Proof", ch_all: Challenges):
+    """Replays verifier.cpp:191-337 for one layer. Returns (ok, new_sum)."""
+    L = cc.layers[i]
+    src = cc.source
+    bl_prev = cc.layers[i - 1].bit_length
+    one = gf.ones(())
+
+    # phase 1 round checks
+    ok1, previous_sum = _check_round_chain(lp.p1_polys,
+                                           ch.r_u[:, :bl_prev], previous_sum)
+    # phase 2 round checks
+    ok2 = jnp.bool_(True)
+    if L.max_dad_bit_length >= 0:
+        ok2, previous_sum = _check_round_chain(
+            lp.p2_polys, ch.r_v[:, :L.max_dad_bit_length], previous_sum)
+
+    # predicate identity (verifier.cpp:63-132, 160-166)
+    bg = beta_table(r_cur, L.bit_length, one)
+    bg = _scale_beta_asserts(cc, i, bg, ch.assert_r)
+    bg = bg[:, :L.size]
+    bu = beta_table(ch.r_u[:, :bl_prev], bl_prev, one)
+    w = gf.mul(bg, bu[:, L.x_idx])
+    if L.max_dad_bit_length >= 0:
+        bv = beta_table(ch.r_v[:, :L.max_dad_bit_length],
+                        L.max_dad_bit_length, one)
+        lv_flat = np.where(np.asarray(src.layers[i].l) < 0, 0,
+                           np.asarray(src.layers[i].lv))
+        w = gf.mul(w, bv[:, jnp.asarray(lv_flat.astype(np.int32))])
+    cu = lp.claim_u[:, None]
+    if lp.claims_v is not None and lp.claims_v.shape[0] > 0:
+        src_l = np.where(np.asarray(src.layers[i].l) < 0, i - 1,
+                         np.asarray(src.layers[i].l)).astype(np.int32)
+        cv = lp.claims_v.T[:, jnp.asarray(src_l)]  # (4, N)
+    else:
+        cv = jnp.zeros((2, L.size), jnp.uint64)
+    A, B, C, D = L.coeff[0], L.coeff[1], L.coeff[2], L.coeff[3]
+    gate_val = gf.add(gf.add(gf.mul(A, cu), gf.mul(B, cv)),
+                      gf.add(gf.mul(C, gf.mul(cu, cv)), D))
+    test_value = tree_sum(gf.mul(w, gate_val))
+    ok3 = jnp.all(test_value == previous_sum)
+
+    # Liu phase (verifier.cpp:272-337)
+    sig = ch.sig
+    liu_sum = gf.mul(sig[:, 0], lp.claim_u)
+    ok_extra = jnp.bool_(True)
+    for j in range(i, cc.depth):
+        # claims about layer i-1 pending from higher layers (incl. this one)
+        lp_j = proof.layers[j]
+        if lp_j.claims_v is not None and lp_j.claims_v.shape[0] > i - 1:
+            liu_sum = gf.add(liu_sum, gf.mul(sig[:, j - i + 1],
+                                             lp_j.claims_v[i - 1]))
+    previous_sum = liu_sum
+    ok4, previous_sum = _check_round_chain(lp.liu_polys,
+                                           ch.r_liu[:, :bl_prev],
+                                           previous_sum)
+    # gr computation
+    bu_liu = beta_table(ch.r_liu[:, :bl_prev], bl_prev, one)
+    bsig = beta_table(ch.r_u[:, :bl_prev], bl_prev, sig[:, 0])
+    pre_size = cc.layers[i - 1].size
+    gr = tree_sum(gf.mul(bsig[:, :pre_size], bu_liu[:, :pre_size]))
+    for j in range(i, cc.depth):
+        Lj = src.layers[j]
+        ds = Lj.dad_size[i - 1] if i - 1 < len(Lj.dad_size) else 0
+        if ds == 0:
+            continue
+        bl_jl = Lj.dad_bit_length[i - 1]
+        ch_j = ch_all.layers[j]
+        bt = beta_table(ch_j.r_v[:, :bl_jl], bl_jl, sig[:, j - i + 1])
+        gathered = bu_liu[:, jnp.asarray(Lj.dad_id[i - 1].astype(np.int32))]
+        gr = gf.add(gr, tree_sum(gf.mul(bt[:, :ds], gathered)))
+    ok5 = jnp.all(gf.mul(lp.liu_claim, gr) == previous_sum)
+    previous_sum = lp.liu_claim
+
+    ok = ok1 & ok2 & ok3 & ok4 & ok5 & ok_extra
+    return ok, previous_sum
+
+
+def verify(cc: CompiledCircuit, proof: Proof, ch: Challenges,
+           output_values=None):
+    """Full GKR verification (without the polynomial commitment).
+
+    output_values: optional (4, 2^bl_last) claimed output block to check
+    vres against.  Returns (ok, final_claim, final_point): the surviving
+    claim  V_input(final_point) == final_claim  for the PC opening.
+    """
+    depth = cc.depth
+    previous_sum = proof.vres
+    ok = jnp.bool_(True)
+    if output_values is not None:
+        ok = ok & jnp.all(mle_fold(output_values, ch.r_out) == proof.vres)
+    r_cur = ch.r_out
+    for i in range(depth - 1, 0, -1):
+        ok_i, previous_sum = verify_layer(cc, i, proof.layers[i], r_cur,
+                                          ch.layers[i], previous_sum,
+                                          proof, ch)
+        ok = ok & ok_i
+        r_cur = ch.layers[i].r_liu[:, :cc.layers[i - 1].bit_length]
+    return ok, previous_sum, r_cur
+
+
+# ---------------------------------------------------------------------------
+# Jitted entry points (circuit/plans closed over as compile-time constants)
+# ---------------------------------------------------------------------------
+
+def make_prover(cc: CompiledCircuit, plans):
+    """Returns jitted prove(values, challenges) -> Proof."""
+    return jax.jit(lambda values, ch: prove(cc, plans, values, ch))
+
+
+def make_verifier(cc: CompiledCircuit):
+    """Returns jitted verify(proof, challenges, output_values)."""
+    return jax.jit(lambda proof, ch, out: verify(cc, proof, ch, out))
+
+
+def make_evaluator(cc: CompiledCircuit):
+    from ..circuits.compile import evaluate as _ev
+    return jax.jit(lambda inputs: _ev(cc, inputs))

@@ -1,0 +1,158 @@
+"""Sumcheck round kernels: masked-prefix scan folds and exact field scatters.
+
+Reference hot loop: sumcheckUpdateEach (/root/reference/src/prover.cpp:457-492)
+folds three bookkeeping tables (V, addV, mult) in half per round and emits a
+degree-2 polynomial.  TPU-native shape:
+
+  * tables live in fixed 2^bl buffers; each round folds even/odd lanes into
+    the prefix and masks the shrinking active region, so the whole phase is
+    ONE lax.scan body (small graph, vectorized VPU work);
+  * the per-round message is (a, b, c) of p(x) = sum_i m_i(x)*v_i(x) + a_i(x)
+    computed from pair differences, identical term-by-term to the reference's
+    interpolate/eval formulation;
+  * gate scatters (segment sums with *field* addition) are precompiled to a
+    sort permutation + prefix-sum + two gathers, because integer scatter-add
+    cannot carry across limb planes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import gf
+
+
+# ---------------------------------------------------------------------------
+# Field reductions
+# ---------------------------------------------------------------------------
+
+def tree_sum(x):
+    """Sum (2, N) field elements along axis 1 -> (2,). Exact log-tree."""
+    n = x.shape[1]
+    if n == 0:
+        return jnp.zeros((2,), jnp.uint64)
+    while n > 1:
+        if n % 2:
+            x = jnp.pad(x, ((0, 0), (0, 1)))
+            n += 1
+        x = gf.add(x[:, 0::2], x[:, 1::2])
+        n //= 2
+    return x[:, 0]
+
+
+def prefix_sum(x):
+    """Inclusive field prefix sum along axis 1 (Hillis-Steele, exact)."""
+    n = x.shape[1]
+    d = 1
+    while d < n:
+        shifted = jnp.pad(x, ((0, 0), (d, 0)))[:, :n]
+        x = gf.add(x, shifted)
+        d *= 2
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Exact segment-sum scatter (precompiled)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ScatterPlan:
+    perm: np.ndarray    # int32 (N,) sort-by-destination permutation
+    starts: np.ndarray  # int32 (out_size,) into the 0-prepended prefix array
+    ends: np.ndarray    # int32 (out_size,) (starts==ends -> empty -> zero)
+    out_size: int
+
+    @staticmethod
+    def build(idx: np.ndarray, out_size: int) -> "ScatterPlan":
+        idx = np.asarray(idx, dtype=np.int64)
+        perm = np.argsort(idx, kind="stable").astype(np.int32)
+        counts = np.bincount(idx, minlength=out_size).astype(np.int64)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        return ScatterPlan(perm=perm, starts=starts.astype(np.int32),
+                           ends=ends.astype(np.int32), out_size=out_size)
+
+    def apply(self, values):
+        """values: (2, N) contributions -> (2, out_size) field segment sums."""
+        s = prefix_sum(values[:, self.perm])
+        s0 = jnp.concatenate([jnp.zeros((2, 1), jnp.uint64), s], axis=1)
+        return gf.sub(s0[:, self.ends], s0[:, self.starts])
+
+
+# ---------------------------------------------------------------------------
+# The scan fold
+# ---------------------------------------------------------------------------
+
+def scan_sumcheck(v, a, m, rs):
+    """Run a full sumcheck over tables of size 2^bl with challenges rs (2, bl).
+
+    Returns (polys (bl, 2, 3) [a,b,c], bound scalars (v, a, m) each (2,)).
+    Round polynomial matches prover.cpp:470-487; binding matches the next
+    round's eval(previousRandom).
+    """
+    bl = rs.shape[1]
+    n = v.shape[1]
+    assert n == 1 << bl, (n, bl)
+    if bl == 0:
+        return (jnp.zeros((0, 2, 3), jnp.uint64),
+                (v[:, 0], a[:, 0], m[:, 0]))
+    half = n // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, half), 1)
+
+    def body(carry, x):
+        cv, ca, cm = carry
+        r, j = x
+        r = r[:, None]
+        v0, v1 = cv[:, 0::2], cv[:, 1::2]
+        a0, a1 = ca[:, 0::2], ca[:, 1::2]
+        m0, m1 = cm[:, 0::2], cm[:, 1::2]
+        dv = gf.sub(v1, v0)
+        da = gf.sub(a1, a0)
+        dm = gf.sub(m1, m0)
+        # p(x) coefficients summed over active pairs
+        pa = gf.mul(dm, dv)
+        pb = gf.add(gf.add(gf.mul(dm, v0), gf.mul(m0, dv)), da)
+        pc = gf.add(gf.mul(m0, v0), a0)
+        mask = lane < (half >> j)
+        pa = jnp.where(mask, pa, 0)
+        pb = jnp.where(mask, pb, 0)
+        pc = jnp.where(mask, pc, 0)
+        poly = jnp.stack([tree_sum(pa), tree_sum(pb), tree_sum(pc)], axis=1)
+        # bind x <- r
+        nv = gf.add(v0, gf.mul(dv, r))
+        na = gf.add(a0, gf.mul(da, r))
+        nm = gf.add(m0, gf.mul(dm, r))
+        pad = ((0, 0), (0, half))
+        return ((jnp.pad(nv, pad), jnp.pad(na, pad), jnp.pad(nm, pad)),
+                poly)
+
+    xs = (jnp.moveaxis(rs, 1, 0), jnp.arange(bl, dtype=jnp.int32))
+    (fv, fa, fm), polys = jax.lax.scan(body, (v, a, m), xs)
+    return polys, (fv[:, 0], fa[:, 0], fm[:, 0])
+
+
+def eval_quad(poly, x):
+    """poly (2,3) [a,b,c]; x (2,) -> ((a*x)+b)*x + c."""
+    return gf.add(gf.mul(gf.add(gf.mul(poly[:, 0], x), poly[:, 1]), x),
+                  poly[:, 2])
+
+
+def quad_at_0_plus_1(poly):
+    """p(0) + p(1) = a + b + 2c."""
+    return gf.add(gf.add(poly[:, 0], poly[:, 1]),
+                  gf.add(poly[:, 2], poly[:, 2]))
+
+
+def mle_fold(values, rs):
+    """Fold a (2, 2^k) table at point rs (2, k): returns (2,).
+    Matches prover::Vres (prover.cpp:99-129) on zero-padded tables."""
+    k = rs.shape[1]
+    for j in range(k):
+        r = rs[:, j:j + 1]
+        v0, v1 = values[:, 0::2], values[:, 1::2]
+        values = gf.add(gf.mul(v0, gf.sub(gf.ones((1,)), r)), gf.mul(v1, r))
+    return values[:, 0]
