@@ -132,6 +132,14 @@ def add(x, y):
     return _cond_sub_p(x + y)
 
 
+def reduce_lazy(x):
+    """Reduce a lazy sum of up to 8 canonical elements (< 2^64) back to
+    canonical [0, p): Mersenne fold + one conditional subtract.  Used after
+    integer collectives (psum) which cannot reduce mod p themselves."""
+    t = (x >> 61) + (x & _P)
+    return _cond_sub_p(t)
+
+
 def sub(x, y):
     return _cond_sub_p(x + (y ^ _P))
 

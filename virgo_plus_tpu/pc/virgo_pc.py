@@ -88,6 +88,7 @@ def _slice_encode(values, bl: int):
     return jnp.concatenate([evals, mask], axis=1), coefs
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class Oracle:
     codeword: jnp.ndarray        # (2, 65, N) natural layout
@@ -172,6 +173,7 @@ def fold_step(codeword, r, lg_n: int):
     return gf.mul(gf.add(s, d), inv2_el)
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class LDTCommitment:
     oracles: List[Oracle]        # one per fold step
