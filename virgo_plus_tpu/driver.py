@@ -1,14 +1,19 @@
-"""End-to-end Virgo++ prove + verify driver.
+"""End-to-end Virgo++ proving and verification.
 
 Replicates the reference flow (/root/reference/src/main.cpp:145-159 and
-verifier.cpp:134-189): parse -> layer -> evaluate -> commit input ->
-GKR layer walk -> VPD opening (commit_public, FFT-GKR delegation, LDT commit
-phase, 33 query walks) -> accept/reject, with the reference's exact glibc
-challenge stream so transcripts and Merkle roots are bit-identical.
+verifier.cpp:134-189) with a functional split the reference lacks:
 
-This is the "interactive-equivalent" mode.  The device work (evaluation,
-GKR phases, FFT/hash pipelines, FRI folds) is jitted; the succinct verifier
-checks and query walks run host-side.
+  * ``prove``   -> a standalone serialized proof (proof_io.FullProof)
+  * ``verify``  -> consumes only the circuit + proof + challenge stream
+  * ``run``     -> interactive-equivalent convenience wrapper (both)
+
+Challenges come from the reference's exact glibc stream (bit-identical
+transcripts); a Fiat-Shamir mode lives in gkr/fs (non-interactive).
+
+One deviation from the reference, documented: the reference never checks
+that sum_i all_sum[i] equals the claimed inner product (its FFT-GKR
+integration was left unfinished, vpd_verifier.cpp:269); we add that check —
+honest proofs are unaffected, so acceptance parity holds.
 """
 
 from __future__ import annotations
@@ -26,11 +31,13 @@ from .field.ref import Fq2
 from .utils.glibc_rand import GlibcRandom
 from .circuits.pws import parse_pws
 from .circuits.layered import dag_to_layered, subset_init, LayeredCircuit
-from .circuits.compile import compile_circuit, input_buffer, evaluate
+from .circuits.compile import compile_circuit, input_buffer
 from .gkr import protocol
 from .gkr.beta import beta_table
-from .gkr.sumcheck import tree_sum, mle_fold
+from .gkr.sumcheck import tree_sum
 from .pc import virgo_pc, vpd, fft_gkr
+from .pc.fft import ifft
+from . import proof_io
 
 
 @dataclass
@@ -69,63 +76,87 @@ class CompiledProver:
     verifier: object
     commit_fn: object
     commit_pub_fn: object
-    fold_fns: list
+    folds_fn: object
+    q_prepare_fn: object
+
+
+def load_circuit(pws_path: str, bug_compat: bool = True) -> LayeredCircuit:
+    dag = parse_pws(pws_path)
+    c = dag_to_layered(dag, bug_compat=bug_compat)
+    subset_init(c)
+    return c
 
 
 def compile_prover(c: LayeredCircuit) -> CompiledProver:
     cc = compile_circuit(c)
     plans = protocol.build_plans(cc)
     bl0 = cc.layers[0].bit_length
-    commit_fn = jax.jit(lambda v: virgo_pc.commit_private(v, bl0))
-    commit_pub_fn = jax.jit(
-        lambda l_eval, q: virgo_pc.commit_public(l_eval, q, bl0))
+    srec_lg = bl0 - virgo_pc.LOG_SLICE
+    rou_small = gf.root_of_unity_int(srec_lg)
+
+    def q_prepare(fp):
+        """verifier-side q coefficients: beta table at the final point,
+        per-slice IFFT (verifier.cpp:348-361)."""
+        q_values = beta_table(fp, bl0, gf.ones(()))
+        sl = q_values.reshape(2, virgo_pc.SLICES, 1 << srec_lg)
+        coefs = jax.vmap(lambda v: ifft(v, rou_small),
+                         in_axes=1, out_axes=1)(sl)
+        return q_values, coefs
+
     return CompiledProver(
         cc=cc, plans=plans,
         evaluator=protocol.make_evaluator(cc),
         prover=protocol.make_prover(cc, plans),
         verifier=protocol.make_verifier(cc),
-        commit_fn=commit_fn, commit_pub_fn=commit_pub_fn,
-        fold_fns=[])
+        commit_fn=jax.jit(lambda v: virgo_pc.commit_private(v, bl0)),
+        commit_pub_fn=jax.jit(
+            lambda l_eval, q: virgo_pc.commit_public(l_eval, q, bl0)),
+        folds_fn=jax.jit(
+            lambda vo, rands: virgo_pc.commit_phase(vo, bl0, list(rands))),
+        q_prepare_fn=jax.jit(q_prepare))
 
 
-def run(pws_path: Optional[str] = None, circuit: Optional[LayeredCircuit] = None,
-        compiled: Optional[CompiledProver] = None,
-        bug_compat: bool = True, seed: int = 3396) -> Report:
-    """Full prove+verify; returns a Report with reference-parity metrics."""
-    if circuit is None:
-        dag = parse_pws(pws_path)
-        circuit = dag_to_layered(dag, bug_compat=bug_compat)
-        subset_init(circuit)
+def _layer_proof_arrays(lp: protocol.LayerProof) -> dict:
+    return dict(
+        p1_polys=np.asarray(lp.p1_polys), claim_u=np.asarray(lp.claim_u),
+        p2_polys=None if lp.p2_polys is None else np.asarray(lp.p2_polys),
+        claims_v=None if lp.claims_v is None else np.asarray(lp.claims_v),
+        liu_polys=np.asarray(lp.liu_polys),
+        liu_claim=np.asarray(lp.liu_claim))
+
+
+def _layer_proof_from(arrs: dict) -> protocol.LayerProof:
+    j = jnp.asarray
+    return protocol.LayerProof(
+        p1_polys=j(arrs["p1_polys"]), claim_u=j(arrs["claim_u"]),
+        p2_polys=None if arrs.get("p2_polys") is None else j(arrs["p2_polys"]),
+        claims_v=None if arrs.get("claims_v") is None else j(arrs["claims_v"]),
+        liu_polys=j(arrs["liu_polys"]), liu_claim=j(arrs["liu_claim"]))
+
+
+def prove(circuit: LayeredCircuit, compiled: Optional[CompiledProver] = None,
+          seed: int = 3396, witness: Optional[np.ndarray] = None):
+    """Produce a standalone proof.  Returns (FullProof, info dict)."""
     cp = compiled or compile_prover(circuit)
     cc = cp.cc
     bl0 = cc.layers[0].bit_length
-
     t0 = time.time()
-    inputs = input_buffer(cc)
-    values = cp.evaluator(inputs)
 
+    inputs = input_buffer(cc, witness)
+    values = cp.evaluator(inputs)
     rng = GlibcRandom(seed)
 
-    # --- input commitment (verifier.cpp:137) ---
     l_oracle, _ = cp.commit_fn(inputs)
-
-    # --- GKR ---
     ch = protocol.make_challenges(cc, rng)
     proof = cp.prover(values, ch)
-    out_block = values[:, int(cc.value_off[cc.depth - 1]):]
-    gkr_ok, previous_sum, final_point = cp.verifier(proof, ch, out_block)
-    gkr_ok = bool(gkr_ok)
+    final_point = ch.layers[1].r_liu[:, :bl0]
 
-    # --- VPD opening (verifier.cpp:363-390) ---
-    q_values = beta_table(final_point, bl0, gf.ones(()))
-    input_0 = tree_sum(gf.mul(inputs, q_values))
+    q_values, _ = cp.q_prepare_fn(final_point)
     h_oracle, q_eval, q_coefs, all_sum, vo = cp.commit_pub_fn(
         l_oracle.codeword, q_values)
 
-    # FFT-GKR delegation (draws from the shared stream)
     fg = fft_gkr.run(bl0 - virgo_pc.LOG_SLICE, rng)
 
-    # LDT commit phase (vpd_verifier.cpp:44-74)
     n_folds = bl0 - virgo_pc.LOG_SLICE
     randomness = []
     for _ in range(n_folds):
@@ -133,38 +164,113 @@ def run(pws_path: Optional[str] = None, circuit: Optional[LayeredCircuit] = None
         randomness.append(gf.from_u64(np.uint64(r), np.uint64(i)).reshape(2))
     ldt = virgo_pc.commit_phase(vo, bl0, randomness)
 
-    # --- query walks ---
     l_host = vpd.OracleHost.of(l_oracle)
     h_host = vpd.OracleHost.of(h_oracle)
     level_hosts = [vpd.OracleHost.of(o) for o in ldt.oracles]
-    level_roots = [o.root() for o in level_hosts]
-    rand_fq2 = [Fq2.raw(int(np.asarray(r)[0]), int(np.asarray(r)[1]))
-                for r in randomness]
-    all_sum_np = np.asarray(all_sum)
+    pows = vpd.draw_positions(rng, bl0)
+    answers, query_size = vpd.answer_queries(pows, bl0, l_host, h_host,
+                                             level_hosts)
+
+    level_roots = np.stack([np.asarray(h.tree[:, 1]) for h in level_hosts])
+    full = proof_io.FullProof(
+        vres=np.asarray(proof.vres),
+        layers=[None] + [_layer_proof_arrays(proof.layers[i])
+                         for i in range(1, cc.depth)],
+        root_l=np.asarray(l_oracle.tree[:, 1]),
+        root_h=np.asarray(h_oracle.tree[:, 1]),
+        all_sum=np.asarray(all_sum),
+        level_roots=level_roots,
+        final_codeword=np.asarray(ldt.final_codeword),
+        fft_gkr_messages=fg.messages,
+        queries=answers,
+        meta=dict(seed=seed, bl0=bl0, depth=cc.depth))
+
+    info = dict(prove_time=time.time() - t0,
+                gkr_proof_size=gkr_proof_size_bytes(cc),
+                pc_proof_size=fg.proof_size + query_size + 2 * 32 + 16,
+                fft_gkr_ok=fg.ok)
+    return full, info
+
+
+def verify(circuit: LayeredCircuit, full: proof_io.FullProof,
+           compiled: Optional[CompiledProver] = None,
+           seed: int = 3396) -> Report:
+    """Standalone verification: uses only circuit + proof + the shared
+    challenge stream."""
+    cp = compiled or compile_prover(circuit)
+    cc = cp.cc
+    bl0 = cc.layers[0].bit_length
+    t0 = time.time()
+
+    rng = GlibcRandom(seed)
+    ch = protocol.make_challenges(cc, rng)
+    proof = protocol.Proof(
+        vres=jnp.asarray(full.vres),
+        layers=[None] + [_layer_proof_from(full.layers[i])
+                         for i in range(1, cc.depth)])
+
+    # The verifier never re-evaluates the circuit: vres is the claimed
+    # output-MLE value and the layer walk + PC opening bind it to the
+    # committed input (succinct verification).  Callers with public outputs
+    # can additionally fold them against proof.vres.
+    gkr_ok, previous_sum, final_point = cp.verifier(proof, ch, None)
+    gkr_ok = bool(gkr_ok)
+
+    # q-side preparation (verifier's own FFT work, delegated via fft_gkr)
+    q_values, q_coefs = cp.q_prepare_fn(final_point)
+
+    fg = fft_gkr.run(bl0 - virgo_pc.LOG_SLICE, rng,
+                     replay=full.fft_gkr_messages)
+
+    n_folds = bl0 - virgo_pc.LOG_SLICE
+    rand_fq2 = []
+    for _ in range(n_folds):
+        r, i = rng.field_element()
+        rand_fq2.append(Fq2.raw(r, i))
+
+    pows = vpd.draw_positions(rng, bl0)
+    all_sum_np = np.asarray(full.all_sum)
     all_sum_fq2 = [Fq2.raw(int(all_sum_np[0, k]), int(all_sum_np[1, k]))
                    for k in range(virgo_pc.SLICES + 1)]
-    pc_ok, query_size = vpd.verify_queries(
-        rng, bl0, l_host, h_host, level_hosts, rand_fq2, level_roots,
-        q_coefs, all_sum_fq2, l_host.root(), h_host.root(),
-        ldt.final_codeword)
+    lroots = [full.level_roots[k].tobytes()
+              for k in range(full.level_roots.shape[0])]
+    pc_ok = vpd.check_queries(
+        pows, full.queries, bl0, rand_fq2, lroots, np.asarray(q_coefs),
+        all_sum_fq2, np.asarray(full.root_l).tobytes(),
+        np.asarray(full.root_h).tobytes(), full.final_codeword)
 
-    # final input check (verifier.cpp:383)
-    ps = np.asarray(previous_sum)
-    i0 = np.asarray(input_0)
-    input_check = bool((ps == i0).all())
+    # claimed inner product == GKR's surviving input claim; additionally
+    # bind sum(all_sum) to it (our soundness fix, see module docstring)
+    ps = Fq2.raw(int(np.asarray(previous_sum)[0]),
+                 int(np.asarray(previous_sum)[1]))
+    tot = Fq2.raw(0, 0)
+    for x in all_sum_fq2:
+        tot = tot + x
+    input_check = (tot == ps)
 
     pc_ok = bool(pc_ok) and fg.ok and input_check
-    pc_proof_size = fg.proof_size + query_size + 2 * 32 + 16  # verifier.cpp:381
-
-    report = Report(
-        ok=gkr_ok and pc_ok,
-        gkr_ok=gkr_ok, pc_ok=pc_ok,
+    return Report(
+        ok=gkr_ok and pc_ok, gkr_ok=gkr_ok, pc_ok=pc_ok,
         input_size=cc.n_inputs,
         gkr_proof_size=gkr_proof_size_bytes(cc),
-        pc_proof_size=pc_proof_size,
-        prove_time=time.time() - t0,
-        details=dict(fft_gkr_ok=fg.ok, input_check=input_check,
-                     query_size=query_size, fft_gkr_size=fg.proof_size,
-                     root_l=[int(x) for x in l_host.tree[:, 1]],
-                     root_h=[int(x) for x in h_host.tree[:, 1]]))
-    return report
+        pc_proof_size=0,
+        verify_time=time.time() - t0,
+        details=dict(fft_gkr_ok=fg.ok, input_check=input_check))
+
+
+def run(pws_path: Optional[str] = None,
+        circuit: Optional[LayeredCircuit] = None,
+        compiled: Optional[CompiledProver] = None,
+        bug_compat: bool = True, seed: int = 3396) -> Report:
+    """Prove + verify in one go (interactive-equivalent)."""
+    if circuit is None:
+        circuit = load_circuit(pws_path, bug_compat)
+    cp = compiled or compile_prover(circuit)
+    full, info = prove(circuit, cp, seed)
+    rep = verify(circuit, full, cp, seed)
+    rep.pc_proof_size = info["pc_proof_size"]
+    rep.prove_time = info["prove_time"]
+    rep.details.update(
+        root_l=[int(x) for x in full.root_l],
+        root_h=[int(x) for x in full.root_h])
+    return rep

@@ -1,0 +1,404 @@
+"""Fiat-Shamir (non-interactive) mode.
+
+The reference ships only an interactive protocol driven by srand(3396)
+randomness; its SHA3 transcript (lib/virgo/src/transcriptCache.hpp) is dead
+code.  This module defines a real non-interactive mode, TPU-first: the
+*entire GKR prover runs as one jitted computation with round challenges
+squeezed from an on-device SHA3 sponge* — no host round-trips — which is
+only possible because the sponge itself (pc/keccak.py) is a device kernel.
+
+Sponge spec (ours; the reference defines none):
+  state D: 32 bytes as (4,) u64 words, initialized from the domain tag.
+  absorb(e0, e1): D <- SHA3-256(e0.real||e0.img||e1.real||e1.img||D)
+                  (same 64-byte block shape as the Merkle leaf chains);
+                  element streams are absorbed pairwise, zero-padded.
+  squeeze():      H = SHA3-256(D || 0x01 pad block); D <- SHA3-256(D || 0x02)
+                  challenge = (H[0] mod p, H[1] mod p).
+
+Round-by-round soundness: each sumcheck round absorbs the round polynomial
+before its challenge is squeezed (unlike batch-FS, which is unsound for
+sumcheck).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field import gf
+from ..pc.keccak import sha3_256_x64
+from .sumcheck import tree_sum, mle_fold
+from .beta import beta_table
+from . import protocol
+
+_P = np.uint64(gf.MOD)
+
+DOMAIN_TAG = b"virgo_plus_tpu.fs.v1\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00"
+
+
+def init_state():
+    h = hashlib.sha3_256(DOMAIN_TAG).digest()
+    return jnp.asarray(np.frombuffer(h, dtype=np.uint64).copy())
+
+
+def _sha3_one(words8):
+    """words8: (8,) u64 -> (4,) u64 (single-lane sha3)."""
+    return sha3_256_x64(words8[:, None])[:, 0]
+
+
+def absorb_pair(D, e0, e1):
+    return _sha3_one(jnp.concatenate([e0, e1, D]))
+
+
+def absorb_elems(D, elems):
+    """elems: (2, k) — absorbed pairwise in order, zero-padded."""
+    k = elems.shape[1]
+    if k % 2:
+        elems = jnp.pad(elems, ((0, 0), (0, 1)))
+        k += 1
+    for i in range(0, k, 2):
+        D = absorb_pair(D, elems[:, i], elems[:, i + 1])
+    return D
+
+
+_PAD1 = jnp.asarray(np.array([1, 0, 0, 0], dtype=np.uint64))
+_PAD2 = jnp.asarray(np.array([2, 0, 0, 0], dtype=np.uint64))
+
+
+def squeeze(D):
+    """-> ((2,) challenge element, new state)."""
+    h = _sha3_one(jnp.concatenate([D, _PAD1]))
+    d2 = _sha3_one(jnp.concatenate([D, _PAD2]))
+    el = jnp.stack([h[0] % _P, h[1] % _P])
+    return el, d2
+
+
+def squeeze_vec(D, n):
+    out = []
+    for _ in range(n):
+        el, D = squeeze(D)
+        out.append(el)
+    return jnp.stack(out, axis=1), D  # (2, n)
+
+
+def fs_scan_sumcheck(v, a, m, bl: int, D):
+    """Sumcheck with per-round absorb+squeeze, as one lax.scan.
+    Returns (polys (bl,2,3), rs (2,bl), bound scalars, D')."""
+    n = v.shape[1]
+    assert n == 1 << bl
+    if bl == 0:
+        return (jnp.zeros((0, 2, 3), jnp.uint64),
+                jnp.zeros((2, 0), jnp.uint64),
+                (v[:, 0], a[:, 0], m[:, 0]), D)
+    half = n // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, half), 1)
+
+    def body(carry, j):
+        cv, ca, cm, D = carry
+        v0, v1 = cv[:, 0::2], cv[:, 1::2]
+        a0, a1 = ca[:, 0::2], ca[:, 1::2]
+        m0, m1 = cm[:, 0::2], cm[:, 1::2]
+        dv = gf.sub(v1, v0)
+        da = gf.sub(a1, a0)
+        dm = gf.sub(m1, m0)
+        pa = gf.mul(dm, dv)
+        pb = gf.add(gf.add(gf.mul(dm, v0), gf.mul(m0, dv)), da)
+        pc = gf.add(gf.mul(m0, v0), a0)
+        mask = lane < (half >> j)
+        poly = jnp.stack([tree_sum(jnp.where(mask, pa, 0)),
+                          tree_sum(jnp.where(mask, pb, 0)),
+                          tree_sum(jnp.where(mask, pc, 0))], axis=1)
+        # absorb the round polynomial, then squeeze the round challenge
+        D2 = absorb_pair(D, poly[:, 0], poly[:, 1])
+        D2 = absorb_pair(D2, poly[:, 2], jnp.zeros((2,), jnp.uint64))
+        r, D3 = squeeze(D2)
+        rr = r[:, None]
+        nv = gf.add(v0, gf.mul(dv, rr))
+        na = gf.add(a0, gf.mul(da, rr))
+        nm = gf.add(m0, gf.mul(dm, rr))
+        pad = ((0, 0), (0, half))
+        return ((jnp.pad(nv, pad), jnp.pad(na, pad), jnp.pad(nm, pad), D3),
+                (poly, r))
+
+    (fv, fa, fm, D), (polys, rs) = jax.lax.scan(
+        body, (v, a, m, D), jnp.arange(bl, dtype=jnp.int32))
+    return polys, jnp.moveaxis(rs, 0, 1), (fv[:, 0], fa[:, 0], fm[:, 0]), D
+
+
+def fs_prove(cc, plans, values, root_l):
+    """Non-interactive GKR proof: one device computation, challenges from
+    the sponge.  Returns (Proof, challenges-as-Challenges, final state)."""
+    depth = cc.depth
+    D = init_state()
+    D = absorb_elems(D, jnp.stack([root_l[:2], root_l[2:]], axis=1))
+
+    bl_last = cc.layers[depth - 1].bit_length
+    out_block = values[:, int(cc.value_off[depth - 1]):]
+    # the output claim point is drawn first (it only depends on the input
+    # commitment), then vres is computed and absorbed
+    r_out, D = squeeze_vec(D, bl_last)
+    vres = mle_fold(out_block, r_out)
+    D = absorb_elems(D, vres[:, None])
+
+    layer_proofs: List[Optional[protocol.LayerProof]] = [None] * depth
+    ch_layers: List[Optional[protocol.LayerChallenges]] = [None] * depth
+    r_cur = r_out
+    # Liu-phase beta contributions need consumer challenges (r_v of higher
+    # layers) — available since layers are processed top-down.
+    for i in range(depth - 1, 0, -1):
+        L = cc.layers[i]
+        P = plans[i]
+        bl_prev = cc.layers[i - 1].bit_length
+        one = gf.ones(())
+
+        assert_r, D = squeeze(D)
+        bg_full = beta_table(r_cur, L.bit_length, one)
+        bg_full = protocol._scale_beta_asserts(cc, i, bg_full, assert_r)
+        bg = bg_full[:, :L.size]
+        y = values[:, L.y_idx]
+        A, B, C, Dc = L.coeff[0], L.coeff[1], L.coeff[2], L.coeff[3]
+        add_c = gf.mul(bg, gf.add(gf.mul(B, y), Dc))
+        mult_c = gf.mul(bg, gf.add(A, gf.mul(C, y)))
+        tmp_add = P.p1.apply(add_c)
+        tmp_mult = P.p1.apply(mult_c)
+        tmp_v = protocol._values_block(cc, values, i - 1)
+        p1_polys, r_u, (claim_u, _, _), D = fs_scan_sumcheck(
+            tmp_v, tmp_add, tmp_mult, bl_prev, D)
+        D = absorb_elems(D, claim_u[:, None])
+
+        p2_polys = None
+        claims_v = None
+        r_v = None
+        if L.max_dad_bit_length >= 0:
+            mdb = L.max_dad_bit_length
+            beta_u = beta_table(r_u, bl_prev, one)
+            tmp_g = gf.mul(bg, beta_u[:, L.x_idx])
+            cu = claim_u[:, None]
+            addv_c = gf.mul(tmp_g, gf.add(gf.mul(A, cu), Dc))
+            multv_c = gf.mul(tmp_g, gf.add(B, gf.mul(C, cu)))
+            addV = P.p2.apply(addv_c)
+            multV = P.p2.apply(multv_c)
+            dg = L.dad_gather_idx
+            vdad = jnp.where(jnp.asarray(np.asarray(dg) >= 0)[None, :],
+                             values[:, jnp.clip(dg, 0)], 0)
+            # FS phase 2 runs the tables JOINTLY round by round: rounds
+            # must share challenges across tables, so we fold all tables
+            # with a shared scan over the concatenated buffer, handling
+            # exhausted tables via the add_term chain exactly as the
+            # interactive prover does — but with sponge challenges.
+            zero = jnp.zeros((2,), jnp.uint64)
+            tables = []
+            for li in range(i):
+                if L.dad_sizes[li] == 0:
+                    continue
+                off = L.dad_offsets[li]
+                blk = slice(off, off + (1 << L.dad_bls[li]))
+                tables.append((li, L.dad_bls[li],
+                               vdad[:, blk], addV[:, blk], multV[:, blk]))
+            a_term = zero
+            out_polys = []
+            rs_list = []
+            bounds = {}
+            state = {li: (vv, aa, mm) for (li, bl_l, vv, aa, mm) in tables}
+            bls = {li: bl_l for (li, bl_l, *_rest) in tables}
+            for j in range(mdb):
+                if j > 0:
+                    a_term = gf.mul(a_term, gf.sub(one, rs_list[-1]))
+                pj = jnp.zeros((2, 3), jnp.uint64)
+                for li, (vv, aa, mm) in state.items():
+                    bl_l = bls[li]
+                    if j < bl_l:
+                        v0, v1 = vv[:, 0::2], vv[:, 1::2]
+                        a0, a1 = aa[:, 0::2], aa[:, 1::2]
+                        m0, m1 = mm[:, 0::2], mm[:, 1::2]
+                        dv = gf.sub(v1, v0)
+                        da = gf.sub(a1, a0)
+                        dm = gf.sub(m1, m0)
+                        pa = tree_sum(gf.mul(dm, dv))
+                        pb = tree_sum(gf.add(gf.add(gf.mul(dm, v0),
+                                                    gf.mul(m0, dv)), da))
+                        pcc = tree_sum(gf.add(gf.mul(m0, v0), a0))
+                        pj = gf.add(pj, jnp.stack([pa, pb, pcc], axis=1))
+                    elif j == bl_l:
+                        vb, ab, mb = state[li]
+                        a_term = gf.add(a_term,
+                                        gf.add(gf.mul(vb[:, 0], mb[:, 0]),
+                                               ab[:, 0]))
+                        bounds[li] = vb[:, 0]
+                pj = gf.add(pj, jnp.stack(
+                    [zero, gf.neg(a_term), a_term], axis=1))
+                D2 = absorb_pair(D, pj[:, 0], pj[:, 1])
+                D2 = absorb_pair(D2, pj[:, 2], zero)
+                r, D = squeeze(D2)
+                rs_list.append(r)
+                out_polys.append(pj)
+                # bind
+                new_state = {}
+                for li, (vv, aa, mm) in state.items():
+                    if j < bls[li]:
+                        rr = r[:, None]
+                        v0, v1 = vv[:, 0::2], vv[:, 1::2]
+                        a0, a1 = aa[:, 0::2], aa[:, 1::2]
+                        m0, m1 = mm[:, 0::2], mm[:, 1::2]
+                        new_state[li] = (
+                            gf.add(v0, gf.mul(gf.sub(v1, v0), rr)),
+                            gf.add(a0, gf.mul(gf.sub(a1, a0), rr)),
+                            gf.add(m0, gf.mul(gf.sub(m1, m0), rr)))
+                    else:
+                        new_state[li] = state[li]
+                state = new_state
+            for li, (vv, aa, mm) in state.items():
+                if bls[li] == mdb:
+                    bounds[li] = vv[:, 0]
+                elif li not in bounds:
+                    bounds[li] = vv[:, 0]
+            p2_polys = (jnp.stack(out_polys) if out_polys
+                        else jnp.zeros((0, 2, 3), jnp.uint64))
+            r_v = (jnp.stack(rs_list, axis=1) if rs_list
+                   else jnp.zeros((2, 0), jnp.uint64))
+            cl = [bounds.get(li, zero) for li in range(i)]
+            claims_v = jnp.stack(cl) if cl else jnp.zeros((0, 2), jnp.uint64)
+            D = absorb_elems(D, claims_v.T)
+
+        # Liu
+        sig, D = squeeze_vec(D, cc.depth)
+        bsig = beta_table(r_u, bl_prev, sig[:, 0])
+        pre_size = cc.layers[i - 1].size
+        multL = jnp.pad(bsig[:, :pre_size],
+                        ((0, 0), (0, cc.layers[i - 1].padded - pre_size)))
+        if P.liu_plan is not None:
+            parts = []
+            for (j, ds, bl_jl, off) in P.liu_consumers:
+                # j == i is this layer's own dad table: its r_v was just
+                # drawn above; higher layers were processed earlier.
+                rv_j = r_v if j == i else ch_layers[j].r_v
+                bt = beta_table(rv_j[:, :bl_jl], bl_jl,
+                                sig[:, j - i + 1])
+                parts.append(bt[:, :ds])
+            contr = jnp.concatenate(parts, axis=1)
+            multL = gf.add(multL, P.liu_plan.apply(contr))
+        addL = jnp.zeros_like(multL)
+        liu_polys, r_liu, (liu_claim, _, _), D = fs_scan_sumcheck(
+            tmp_v, addL, multL, bl_prev, D)
+        D = absorb_elems(D, liu_claim[:, None])
+
+        layer_proofs[i] = protocol.LayerProof(
+            p1_polys=p1_polys, claim_u=claim_u, p2_polys=p2_polys,
+            claims_v=claims_v, liu_polys=liu_polys, liu_claim=liu_claim)
+        ch_layers[i] = protocol.LayerChallenges(
+            r_u=r_u, assert_r=assert_r, r_v=r_v, sig=sig, r_liu=r_liu)
+        r_cur = r_liu
+
+    proof = protocol.Proof(vres=vres, layers=layer_proofs)
+    ch = protocol.Challenges(r_out=r_out, layers=ch_layers)
+    return proof, ch, D
+
+
+def make_fs_prover(cc, plans):
+    return jax.jit(lambda values, root_l: fs_prove(cc, plans, values, root_l))
+
+
+# ---------------------------------------------------------------------------
+# Host-side sponge (verifier re-derivation)
+# ---------------------------------------------------------------------------
+
+class HostSponge:
+    def __init__(self):
+        self.state = hashlib.sha3_256(DOMAIN_TAG).digest()
+
+    def _h(self, data64: bytes) -> bytes:
+        return hashlib.sha3_256(data64).digest()
+
+    def absorb_pair(self, e0, e1):
+        blob = b"".join(int(x).to_bytes(8, "little")
+                        for x in (e0[0], e0[1], e1[0], e1[1]))
+        self.state = self._h(blob + self.state)
+
+    def absorb_elems(self, elems):
+        """elems: list of (real, img) int pairs."""
+        es = list(elems)
+        if len(es) % 2:
+            es.append((0, 0))
+        for k in range(0, len(es), 2):
+            self.absorb_pair(es[k], es[k + 1])
+
+    def squeeze(self):
+        h = self._h(self.state + b"\x01" + b"\x00" * 31)
+        self.state = self._h(self.state + b"\x02" + b"\x00" * 31)
+        w = np.frombuffer(h, dtype=np.uint64)
+        return (int(w[0]) % gf.MOD, int(w[1]) % gf.MOD)
+
+    def squeeze_vec(self, n):
+        return [self.squeeze() for _ in range(n)]
+
+
+def derive_challenges(cc, proof: protocol.Proof, root_l):
+    """Verifier side: re-derive every FS challenge from the proof messages
+    with the host sponge.  root_l: (4,) digest words."""
+    sp = HostSponge()
+    rl = np.asarray(root_l)
+    sp.absorb_pair((int(rl[0]), int(rl[1])), (int(rl[2]), int(rl[3])))
+
+    def el(x):
+        a = np.asarray(x)
+        return (int(a[0]), int(a[1]))
+
+    def to_arr(pairs):
+        out = np.zeros((2, len(pairs)), dtype=np.uint64)
+        for k, (r, i) in enumerate(pairs):
+            out[0, k], out[1, k] = r, i
+        return jnp.asarray(out)
+
+    depth = cc.depth
+    bl_last = cc.layers[depth - 1].bit_length
+    r_out = to_arr(sp.squeeze_vec(bl_last))
+    sp.absorb_elems([el(proof.vres)])
+
+    layers: list = [None] * depth
+    for i in range(depth - 1, 0, -1):
+        lp = proof.layers[i]
+        bl_prev = cc.layers[i - 1].bit_length
+        assert_r = to_arr([sp.squeeze()])[:, 0]
+        p1 = np.asarray(lp.p1_polys)
+        r_u = []
+        for j in range(bl_prev):
+            sp.absorb_elems([el(p1[j, :, 0]), el(p1[j, :, 1]),
+                             el(p1[j, :, 2])])
+            r_u.append(sp.squeeze())
+        r_u = to_arr(r_u)
+        sp.absorb_elems([el(lp.claim_u)])
+        r_v = None
+        if lp.p2_polys is not None:
+            p2 = np.asarray(lp.p2_polys)
+            rv = []
+            for j in range(p2.shape[0]):
+                sp.absorb_elems([el(p2[j, :, 0]), el(p2[j, :, 1]),
+                                 el(p2[j, :, 2])])
+                rv.append(sp.squeeze())
+            r_v = to_arr(rv)
+            cv = np.asarray(lp.claims_v)
+            sp.absorb_elems([el(cv[k]) for k in range(cv.shape[0])])
+        sig = to_arr(sp.squeeze_vec(depth))
+        lpo = np.asarray(lp.liu_polys)
+        r_liu = []
+        for j in range(bl_prev):
+            sp.absorb_elems([el(lpo[j, :, 0]), el(lpo[j, :, 1]),
+                             el(lpo[j, :, 2])])
+            r_liu.append(sp.squeeze())
+        r_liu = to_arr(r_liu)
+        sp.absorb_elems([el(lp.liu_claim)])
+        layers[i] = protocol.LayerChallenges(
+            r_u=r_u, assert_r=assert_r, r_v=r_v, sig=sig, r_liu=r_liu)
+    return protocol.Challenges(r_out=r_out, layers=layers), sp
+
+
+def fs_verify(cc, proof: protocol.Proof, root_l, output_values=None):
+    """Non-interactive verification: re-derive challenges, then run the
+    standard checks.  Returns (ok, final_claim, final_point)."""
+    ch, _sp = derive_challenges(cc, proof, root_l)
+    return protocol.verify(cc, proof, ch, output_values)

@@ -62,7 +62,38 @@ def _draw_vec(rng, n):
 class FFTGKRResult:
     ok: bool
     proof_size: int
-    n_round_polys: int
+    messages: list            # transcript items, in order (numpy arrays)
+
+
+class _Tape:
+    """Record (prove) or replay (standalone verify) the message stream."""
+
+    def __init__(self, replay=None):
+        self.replay = None if replay is None else list(replay)
+        self.out = []
+        self.pos = 0
+
+    @property
+    def recording(self):
+        return self.replay is None
+
+    def emit(self, compute):
+        if self.replay is None:
+            v = np.asarray(compute())
+            self.out.append(v)
+            return v
+        v = self.replay[self.pos]
+        self.pos += 1
+        return v
+
+    def sumcheck(self, compute):
+        """Record/replay a sumcheck's (polys, bound_v) message pair."""
+        if self.replay is None:
+            polys, (vb, _a, _m) = compute()
+            self.out.append(np.asarray(polys))
+            self.out.append(np.asarray(vb))
+            return self.out[-2], self.out[-1]
+        return self.emit(None), self.emit(None)
 
 
 def build_circuit(lg: int, r, eval_points):
@@ -135,15 +166,18 @@ def _two_point_beta(r0, r1, alpha, beta, bits: int):
                   beta_table(r1[:, :bits], bits, beta))
 
 
-def run(lg: int, rng) -> FFTGKRResult:
-    """The whole fft_gkr interaction (prover+verifier), device sumchecks +
-    host scalar checks.  rng: the shared GlibcRandom transcript stream."""
+def run(lg: int, rng, replay=None) -> FFTGKRResult:
+    """The whole fft_gkr interaction.  Prove mode (replay=None): device
+    sumchecks record the message transcript.  Verify mode: messages are
+    replayed and only the host checks run (no circuit evaluation).
+    rng: the shared transcript stream (same draws in both modes)."""
     ok = True
     proof_size = 0
+    tape = _Tape(replay)
 
     r = _draw_vec(rng, lg)
     eval_points = _draw_vec(rng, 64)   # drawn inside build_circuit
-    layers = build_circuit(lg, r, eval_points)
+    layers = build_circuit(lg, r, eval_points) if tape.recording else None
 
     r_0 = _draw_vec(rng, lg + 10)
     r_1 = _draw_vec(rng, lg + 10)
@@ -152,23 +186,27 @@ def run(lg: int, rng) -> FFTGKRResult:
     beta = gf.zeros(())
 
     # a_0 = V_output: fold the 64 sums at r_0[:6]
-    ab_sum = mle_fold(layers[-1], r_0[:, :6])
+    if tape.recording:
+        ab_sum = tape.emit(lambda: mle_fold(layers[-1], r_0[:, :6]))
+    else:
+        ab_sum = tape.emit(None)
+    ab_sum = jnp.asarray(ab_sum)
 
     n = 1 << lg
 
     # ---------------- addition layer (fft_circuit_GKR.cpp:227-332) --------
     log_uv = lg + 6
     bg = _two_point_beta(r_0, r_1, alpha, beta, 6)       # (2, 64)
-    V = layers[-2]                                       # (2, 64*n) expansion
-    addV = jnp.zeros_like(V)
-    am = jnp.broadcast_to(bg[:, :, None], (2, 64, n)).reshape(2, 64 * n)
     r_u = _draw_vec(rng, log_uv)
     r_v = _draw_vec(rng, log_uv)
-    # NB the reference's g-block index is the HIGH bits of uv (j = i*size+u)
-    # but its sumcheck variable order is LSB-first over the flat index —
-    # our scan_sumcheck matches that exactly given the same flat tables.
-    polys, (v_u, _, _) = scan_sumcheck(_rev_to_flat(V), _rev_to_flat(addV),
-                                       _rev_to_flat(am), r_u)
+
+    def _add_layer():
+        V = layers[-2]                                   # (2, 64*n) expansion
+        addV = jnp.zeros_like(V)
+        am = jnp.broadcast_to(bg[:, :, None], (2, 64, n)).reshape(2, 64 * n)
+        return scan_sumcheck(V, addV, am, r_u)
+
+    polys, v_u = tape.sumcheck(_add_layer)
     proof_size += 48 * log_uv
     ok &= _check_chain_host(polys, r_u, _fq2(ab_sum))
     ab = _chain_final(polys, r_u, _fq2(ab_sum))
@@ -186,20 +224,24 @@ def run(lg: int, rng) -> FFTGKRResult:
     vu_h = _fq2(v_u)
     if ab != s_val * vu_h:
         ok = False
-    ab_sum = gf.mul(alpha, v_u)
+    ab_sum = gf.mul(alpha, jnp.asarray(v_u))
     r_0, r_1 = r_u, r_v
 
     # ---------------- mult layer (fft_circuit_GKR.cpp:334-447) ------------
     length_g = lg + 6
     bg_full = _two_point_beta(r_0, r_1, alpha, beta, length_g)  # (2, 2^(lg+6))
-    pw = jax.vmap(lambda e: powers_el(e, n), in_axes=1, out_axes=1)(eval_points)
-    bg_resh = bg_full.reshape(2, 64, n)
-    am = tree_sum_axis(jnp.moveaxis(gf.mul(bg_resh, pw), 2, 1))  # sum over j
-    V = layers[2 * lg + 1]                                # scale layer (2, n)
-    addV = jnp.zeros_like(V)
     r_u = _draw_vec(rng, lg)
     r_v = _draw_vec(rng, lg)
-    polys, (v_u, _, _) = scan_sumcheck(V, addV, am, r_u)
+
+    def _mult_layer():
+        pw = jax.vmap(lambda e: powers_el(e, n),
+                      in_axes=1, out_axes=1)(eval_points)
+        bg_resh = bg_full.reshape(2, 64, n)
+        am = tree_sum_axis(jnp.moveaxis(gf.mul(bg_resh, pw), 2, 1))
+        V = layers[2 * lg + 1]                            # scale layer (2, n)
+        return scan_sumcheck(V, jnp.zeros_like(V), am, r_u)
+
+    polys, v_u = tape.sumcheck(_mult_layer)
     proof_size += 48 * lg
     ok &= _check_chain_host(polys, r_u, _fq2(ab_sum))
     ab = _chain_final(polys, r_u, _fq2(ab_sum))
@@ -230,7 +272,7 @@ def run(lg: int, rng) -> FFTGKRResult:
         summation_mult = summation_mult + g0 * u0 + g1 * u1
     if ab != summation_mult * _fq2(v_u):
         ok = False
-    ab_sum = gf.mul(alpha, v_u)
+    ab_sum = gf.mul(alpha, jnp.asarray(v_u))
     r_0, r_1 = r_u, r_v
 
     # ---------------- intermediate (scale) layer --------------------------
@@ -248,41 +290,51 @@ def run(lg: int, rng) -> FFTGKRResult:
     for dep in range(lg):
         m = 1 << dep
         K = n >> (dep + 1)      # blk_size/2
-        pre_layer = layers[lg + (lg - dep) - 1]   # build index cur-1
+        pre_layer = layers[lg + (lg - dep) - 1] if tape.recording else None
         x_pows = powers(rot_mul[dep], K)           # x_k
         bg_full = _two_point_beta(r_0, r_1, alpha, beta, lg)  # (2, n)
+        r_u = _draw_vec(rng, lg)
+        r_v = _draw_vec(rng, lg)
         # gates: out[k<<dep|j] = pre[k<<(dep+1)|j] + x_k*pre[...|1<<dep|j]
         #        out[(k+K)<<dep|j] = pre[k<<(dep+1)|j] - x_k*pre[..|1<<dep|j]
         bgA = bg_full.reshape(2, 2, K, m)[:, 0]    # g = k<<dep|j
         bgB = bg_full.reshape(2, 2, K, m)[:, 1]    # g = (k+K)<<dep|j
-        Vpre = pre_layer.reshape(2, K, 2, m)
-        v_even = Vpre[:, :, 0, :]
-        v_odd = Vpre[:, :, 1, :]
-        # phase 1: scatter onto u = k<<(dep+1)|j (even positions)
-        am_e = gf.add(bgA, bgB)
-        addV_e = gf.mul(gf.mul(gf.sub(bgA, bgB), x_pows[:, :, None]), v_odd)
-        am = jnp.stack([am_e, jnp.zeros_like(am_e)], axis=2).reshape(2, n)
-        addV = jnp.stack([addV_e, jnp.zeros_like(addV_e)], axis=2).reshape(2, n)
-        V = pre_layer
-        r_u = _draw_vec(rng, lg)
-        r_v = _draw_vec(rng, lg)
-        polys, (v_u, _, _) = scan_sumcheck(V, addV, am, r_u)
+
+        def _stage_p1():
+            Vpre = pre_layer.reshape(2, K, 2, m)
+            v_odd = Vpre[:, :, 1, :]
+            # phase 1: scatter onto u = k<<(dep+1)|j (even positions)
+            am_e = gf.add(bgA, bgB)
+            addV_e = gf.mul(gf.mul(gf.sub(bgA, bgB), x_pows[:, :, None]),
+                            v_odd)
+            am = jnp.stack([am_e, jnp.zeros_like(am_e)], axis=2)\
+                    .reshape(2, n)
+            addV = jnp.stack([addV_e, jnp.zeros_like(addV_e)], axis=2)\
+                      .reshape(2, n)
+            return scan_sumcheck(pre_layer, addV, am, r_u)
+
+        polys, v_u = tape.sumcheck(_stage_p1)
         proof_size += 48 * lg
         ok &= _check_chain_host(polys, r_u, _fq2(ab_sum))
         ab1 = _chain_final(polys, r_u, _fq2(ab_sum))
-        # phase 2: scatter onto v = k<<(dep+1)|1<<dep|j (odd positions)
-        bu_full = beta_table(r_u[:, :lg], lg, gf.ones(()))
-        bu_resh = bu_full.reshape(2, K, 2, m)
-        bu_u = bu_resh[:, :, 0, :]                 # beta_u at u positions
-        gA_u = gf.mul(bgA, bu_u)
-        gB_u = gf.mul(bgB, bu_u)
-        am_o = gf.mul(gf.sub(gA_u, gB_u), x_pows[:, :, None])
-        v_u_el = v_u[:, None, None]
-        addV_o = gf.mul(gf.add(gA_u, gB_u), v_u_el)
-        am2 = jnp.stack([jnp.zeros_like(am_o), am_o], axis=2).reshape(2, n)
-        addV2 = jnp.stack([jnp.zeros_like(addV_o), addV_o], axis=2)\
-                   .reshape(2, n)
-        polys2, (v_v, _, _) = scan_sumcheck(V, addV2, am2, r_v)
+
+        def _stage_p2():
+            # phase 2: scatter onto v = k<<(dep+1)|1<<dep|j (odd positions)
+            bu_full = beta_table(jnp.asarray(r_u)[:, :lg], lg, gf.ones(()))
+            bu_resh = bu_full.reshape(2, K, 2, m)
+            bu_u = bu_resh[:, :, 0, :]             # beta_u at u positions
+            gA_u = gf.mul(bgA, bu_u)
+            gB_u = gf.mul(bgB, bu_u)
+            am_o = gf.mul(gf.sub(gA_u, gB_u), x_pows[:, :, None])
+            v_u_el = jnp.asarray(v_u)[:, None, None]
+            addV_o = gf.mul(gf.add(gA_u, gB_u), v_u_el)
+            am2 = jnp.stack([jnp.zeros_like(am_o), am_o], axis=2)\
+                     .reshape(2, n)
+            addV2 = jnp.stack([jnp.zeros_like(addV_o), addV_o], axis=2)\
+                       .reshape(2, n)
+            return scan_sumcheck(pre_layer, addV2, am2, r_v)
+
+        polys2, v_v = tape.sumcheck(_stage_p2)
         proof_size += 48 * lg
         ok &= _check_chain_host(polys2, r_v, ab1)
         ab2 = _chain_final(polys2, r_v, ab1)
@@ -340,7 +392,8 @@ def run(lg: int, rng) -> FFTGKRResult:
         # new alpha/beta
         alpha = _draw_el(rng)
         beta = _draw_el(rng)
-        ab_sum = gf.add(gf.mul(alpha, v_u), gf.mul(beta, v_v))
+        ab_sum = gf.add(gf.mul(alpha, jnp.asarray(v_u)),
+                        gf.mul(beta, jnp.asarray(v_v)))
         r_0, r_1 = r_u, r_v
 
     # extension part: proof size only (fft_circuit_GKR.cpp:771-780)
@@ -348,7 +401,7 @@ def run(lg: int, rng) -> FFTGKRResult:
         proof_size += 48 * i
 
     return FFTGKRResult(ok=bool(ok), proof_size=proof_size,
-                        n_round_polys=0)
+                        messages=tape.out)
 
 
 one = Fq2.raw(1, 0)

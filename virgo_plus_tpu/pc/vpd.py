@@ -164,22 +164,69 @@ def _fq2_of(arr, idx=None) -> Fq2:
     return Fq2.raw(int(a[0, idx]), int(a[1, idx]))
 
 
-def verify_queries(rng, bl: int, l_host: OracleHost, h_host: OracleHost,
-                   level_hosts: List[OracleHost], level_randomness: List[Fq2],
-                   level_roots: List[bytes], q_coefs: np.ndarray,
-                   all_sum: List[Fq2], root_l: bytes, root_h: bytes,
-                   final_codeword: np.ndarray):
-    """The 33 query walks + final-codeword checks
-    (vpd_verifier.cpp:101-326).  rng supplies rand() for positions.
-    Returns (ok, proof_size_bytes)."""
+def draw_positions(rng, bl: int) -> List[int]:
+    """Per-repetition initial query position (vpd_verifier.cpp:120-122):
+    rand() with rejection until even and >= 2^(bl - LOG_SLICE)."""
+    lg0 = bl + RATE - LOG_SLICE
+    pows = []
+    for _ in range(virgo_pc.LDT_REPEATS):
+        while True:
+            p = rng.rand() % (1 << lg0)
+            if not (p < (1 << (bl - LOG_SLICE)) or p % 2 == 1):
+                break
+        pows.append(p)
+    return pows
+
+
+@dataclass
+class QueryAnswers:
+    """Per repetition: initial l/h pairs+paths and per-level pairs+paths —
+    the serialized content of the FRI opening (the reference's
+    request_init_value_with_merkle / request_step_commit responses)."""
+    init_l: list      # [(pairs, path)] per rep
+    init_h: list
+    levels: list      # [[(pairs, path) per level] per rep]
+
+
+def answer_queries(pows: List[int], bl: int, l_host: OracleHost,
+                   h_host: OracleHost,
+                   level_hosts: List[OracleHost]):
+    """Prover side: gather value pairs and Merkle paths for every query.
+    Also computes the reference's deduplicated proof size."""
+    lg0 = bl + RATE - LOG_SLICE
+    acct = SizeAccount(bl, len(level_hosts))
+    proof_size = 0
+    init_l, init_h, levels = [], [], []
+    for pow0 in pows:
+        p0 = pow0 // 2
+        ppos = _path_positions(p0, l_host.n // 2)
+        acct.init_query(0, p0, lg0 - 1, ppos)
+        proof_size += acct.init_query(1, p0, lg0 - 1, ppos)
+        init_l.append((l_host.all_pairs(p0), l_host.path(p0)))
+        init_h.append((h_host.all_pairs(p0), h_host.path(p0)))
+        lvl_answers = []
+        pw = pow0
+        for lvl, host in enumerate(level_hosts):
+            if lvl > 0:
+                pw = pw % (1 << (lg0 - lvl))
+            bp = (pw // 2) % (host.n // 2)
+            ppos = _path_positions(bp, host.n // 2)
+            proof_size += acct.step_query(lvl, bp, ppos)
+            lvl_answers.append((host.all_pairs(bp), host.path(bp)))
+        levels.append(lvl_answers)
+    return QueryAnswers(init_l=init_l, init_h=init_h, levels=levels),         proof_size
+
+
+def check_queries(pows: List[int], answers: QueryAnswers, bl: int,
+                  level_randomness: List[Fq2], level_roots: List[bytes],
+                  q_coefs: np.ndarray, all_sum: List[Fq2], root_l: bytes,
+                  root_h: bytes, final_codeword: np.ndarray):
+    """Verifier side of the 33 query walks + final-codeword checks
+    (vpd_verifier.cpp:101-326), consuming only serialized answers."""
     log_length = bl
     lg0 = log_length + RATE - LOG_SLICE      # log initial codeword size
     srec = 1 << (bl - LOG_SLICE)
-    n_levels = len(level_hosts)
-    acct = SizeAccount(bl, n_levels)
-    proof_size = 0
     inv_2 = Fq2.raw(2, 0).inv()
-    rou_ss = Fq2.raw(*gf.root_of_unity_int(lg0))
 
     q_coefs = np.asarray(q_coefs)            # (2, 64, srec)
 
@@ -194,11 +241,7 @@ def verify_queries(rng, bl: int, l_host: OracleHost, h_host: OracleHost,
         for i in range(log_length - LOG_SLICE):
             lg_cur = lg0 - i
             if i == 0:
-                while True:
-                    pow_ = rng.rand() % (1 << lg_cur)
-                    if not (pow_ < (1 << (log_length - LOG_SLICE)) or
-                            pow_ % 2 == 1):
-                        break
+                pow_ = pows[rep]
                 root_of_unity = Fq2.raw(*gf.root_of_unity_int(lg_cur))
                 y = root_of_unity.pow(pow_)
             else:
@@ -212,29 +255,20 @@ def verify_queries(rng, bl: int, l_host: OracleHost, h_host: OracleHost,
 
             if i == 0:
                 p0 = min(s0_pow, s1_pow)
-                # initial queries on l and h oracles
-                path_positions_l = _path_positions(p0, l_host.n // 2)
-                acct.init_query(0, p0, lg_cur - 1, path_positions_l)
-                new = acct.init_query(1, p0, lg_cur - 1, path_positions_l)
-                proof_size += new   # reference resets counter: only h counts
-                alpha_l = l_host.all_pairs(p0)
-                alpha_h = h_host.all_pairs(p0)
-                if not verify_merkle_host(root_l, l_host.path(p0), p0,
-                                          alpha_l):
-                    return False, proof_size
-                if not verify_merkle_host(root_h, h_host.path(p0), p0,
-                                          alpha_h):
-                    return False, proof_size
+                alpha_l, path_l = answers.init_l[rep]
+                alpha_h, path_h = answers.init_h[rep]
+                if not verify_merkle_host(root_l, path_l, p0, alpha_l):
+                    return False
+                if not verify_merkle_host(root_h, path_h, p0, alpha_h):
+                    return False
                 # level-0 fold query; the reference mapping reduces to the
                 # pair (pos mod half, pos mod half + half)
-                bp = (pow_ // 2) % (level_hosts[0].n // 2)
-                ppos = _path_positions(bp, level_hosts[0].n // 2)
-                proof_size += acct.step_query(0, bp, ppos)
-                beta_pairs = level_hosts[0].all_pairs(bp)
-                if not verify_merkle_host(level_roots[0],
-                                          level_hosts[0].path(bp), bp,
+                n0 = 1 << (lg0 - 1)       # level-0 codeword size per slice
+                bp = (pow_ // 2) % (n0 // 2)
+                beta_pairs, path_b = answers.levels[rep][0]
+                if not verify_merkle_host(level_roots[0], path_b, bp,
                                           beta_pairs):
-                    return False, proof_size
+                    return False
 
                 inv_mu = root_of_unity.pow(pow_ // 2).inv()
                 # q evaluations at s0, s1 per slice (coefficient dots)
@@ -272,19 +306,17 @@ def verify_queries(rng, bl: int, l_host: OracleHost, h_host: OracleHost,
                     b0 = Fq2.raw(*beta_pairs[j][0])
                     b1 = Fq2.raw(*beta_pairs[j][1])
                     if p_val != b0 and p_val != b1:
-                        return False, proof_size
+                        return False
                     equ_beta = (p_val == b1)
             else:
                 alpha_pairs = beta_pairs
                 lvl = i
-                bp = (pow_ // 2) % (level_hosts[lvl].n // 2)
-                ppos = _path_positions(bp, level_hosts[lvl].n // 2)
-                proof_size += acct.step_query(lvl, bp, ppos)
-                beta_pairs = level_hosts[lvl].all_pairs(bp)
-                if not verify_merkle_host(level_roots[lvl],
-                                          level_hosts[lvl].path(bp), bp,
+                nl = 1 << (lg0 - 1 - lvl)  # level codeword size per slice
+                bp = (pow_ // 2) % (nl // 2)
+                beta_pairs, path_b = answers.levels[rep][lvl]
+                if not verify_merkle_host(level_roots[lvl], path_b, bp,
                                           beta_pairs):
-                    return False, proof_size
+                    return False
                 inv_mu = root_of_unity.pow(pow_ // 2).inv()
                 r_i = level_randomness[i]
                 for j in range(SLICES + 1):
@@ -295,7 +327,7 @@ def verify_queries(rng, bl: int, l_host: OracleHost, h_host: OracleHost,
                     b0 = Fq2.raw(*beta_pairs[j][0])
                     b1 = Fq2.raw(*beta_pairs[j][1])
                     if p0v != b0 and p0v != b1 and p1v != b0 and p1v != b1:
-                        return False, proof_size
+                        return False
 
         # final codeword constancy (vpd_verifier.cpp:311-325): the
         # reference checks only the first 2^(RATE-1) positions per real
@@ -304,9 +336,24 @@ def verify_queries(rng, bl: int, l_host: OracleHost, h_host: OracleHost,
         hr = 1 << (RATE - 1)
         for sl in range(SLICES):
             if not (fc[:, sl, :hr] == fc[:, sl, :1]).all():
-                return False, proof_size
+                return False
         if not (fc[:, SLICES, :] == fc[:, SLICES, :1]).all():
-            return False, proof_size
+            return False
+    return ok
+
+
+def verify_queries(rng, bl: int, l_host: OracleHost, h_host: OracleHost,
+                   level_hosts: List[OracleHost], level_randomness: List[Fq2],
+                   level_roots: List[bytes], q_coefs: np.ndarray,
+                   all_sum: List[Fq2], root_l: bytes, root_h: bytes,
+                   final_codeword: np.ndarray):
+    """Interactive-equivalent wrapper: draw positions, answer, check.
+    Returns (ok, dedup proof size in bytes)."""
+    pows = draw_positions(rng, bl)
+    answers, proof_size = answer_queries(pows, bl, l_host, h_host,
+                                         level_hosts)
+    ok = check_queries(pows, answers, bl, level_randomness, level_roots,
+                       q_coefs, all_sum, root_l, root_h, final_codeword)
     return ok, proof_size
 
 
