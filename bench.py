@@ -19,6 +19,11 @@ BASELINE_PROVE_S = 0.414
 
 def main():
     import jax
+    # persistent compile cache works on the TPU (axon) backend (it hangs on
+    # CPU in this environment — tests keep it off)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     from virgo_plus_tpu.circuits.pws import parse_pws
     from virgo_plus_tpu.circuits.layered import dag_to_layered, subset_init
     from virgo_plus_tpu.circuits.compile import compile_circuit, input_buffer

