@@ -50,3 +50,18 @@ def test_fs_rejects_tampering():
     proof.layers[cc.depth - 1] = bad
     ok, _, _ = fs.fs_verify(cc, proof, root_l)
     assert not bool(ok)
+
+
+def test_fs_end_to_end_with_pc():
+    from virgo_plus_tpu import driver
+    c = randomize(3, 7, seed=9)
+    subset_init(c)
+    cp = driver.compile_prover(c)
+    full, info = driver.prove_fs(c, cp)
+    rep = driver.verify_fs(c, full, cp)
+    assert rep.ok and rep.gkr_ok and rep.pc_ok
+    # tamper with all_sum -> verification must fail
+    full.all_sum = full.all_sum.copy()
+    full.all_sum[0, 0] = (int(full.all_sum[0, 0]) + 1) % ((1 << 61) - 1)
+    rep2 = driver.verify_fs(c, full, cp)
+    assert not rep2.ok

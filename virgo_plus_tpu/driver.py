@@ -269,6 +269,146 @@ def verify(circuit: LayeredCircuit, full: proof_io.FullProof,
         details=dict(fft_gkr_ok=fg.ok, input_check=input_check))
 
 
+def prove_fs(circuit: LayeredCircuit,
+             compiled: Optional[CompiledProver] = None,
+             witness: Optional[np.ndarray] = None):
+    """Non-interactive (Fiat-Shamir) proof.  GKR challenges are squeezed
+    from an on-device SHA3 sponge (gkr/fs.py); the PC stage continues the
+    sponge on host: absorb root_h + all_sum, seed fft_gkr from the sponge,
+    draw each FRI fold challenge after absorbing the previous level root,
+    and derive query positions from the final state."""
+    from .gkr import fs as fs_mod
+
+    cp = compiled or compile_prover(circuit)
+    cc = cp.cc
+    bl0 = cc.layers[0].bit_length
+    t0 = time.time()
+
+    inputs = input_buffer(cc, witness)
+    values = cp.evaluator(inputs)
+    l_oracle, _ = cp.commit_fn(inputs)
+    root_l = l_oracle.tree[:, 1]
+
+    fs_prover = getattr(cp, "_fs_prover", None)
+    if fs_prover is None:
+        fs_prover = fs_mod.make_fs_prover(cc, cp.plans)
+        cp._fs_prover = fs_prover
+    proof, ch, D = fs_prover(values, root_l)
+    final_point = ch.layers[1].r_liu[:, :bl0]
+
+    q_values, _ = cp.q_prepare_fn(final_point)
+    h_oracle, q_eval, q_coefs, all_sum, vo = cp.commit_pub_fn(
+        l_oracle.codeword, q_values)
+
+    sp = fs_mod.HostSponge.from_device_state(D)
+    sp.absorb_digest_words(h_oracle.tree[:, 1])
+    all_sum_np = np.asarray(all_sum)
+    sp.absorb_elems([(int(all_sum_np[0, k]), int(all_sum_np[1, k]))
+                     for k in range(all_sum_np.shape[1])])
+
+    fg = fft_gkr.run(bl0 - virgo_pc.LOG_SLICE, sp)
+
+    n_folds = bl0 - virgo_pc.LOG_SLICE
+    randomness = []
+    cur = vo
+    lg = bl0 + virgo_pc.RATE - virgo_pc.LOG_SLICE
+    oracles = []
+    for k in range(n_folds):
+        r, i = sp.squeeze()
+        rel = gf.from_u64(np.uint64(r), np.uint64(i)).reshape(2)
+        randomness.append(rel)
+        cur = virgo_pc.fold_step(cur, rel, lg)
+        lg -= 1
+        o = virgo_pc.make_oracle(cur)
+        oracles.append(o)
+        sp.absorb_digest_words(o.tree[:, 1])
+    ldt = virgo_pc.LDTCommitment(oracles=oracles, randomness=randomness,
+                                 final_codeword=cur)
+
+    l_host = vpd.OracleHost.of(l_oracle)
+    h_host = vpd.OracleHost.of(h_oracle)
+    level_hosts = [vpd.OracleHost.of(o) for o in ldt.oracles]
+    pows = vpd.draw_positions(sp, bl0)
+    answers, query_size = vpd.answer_queries(pows, bl0, l_host, h_host,
+                                             level_hosts)
+
+    level_roots = np.stack([np.asarray(h.tree[:, 1]) for h in level_hosts])
+    full = proof_io.FullProof(
+        vres=np.asarray(proof.vres),
+        layers=[None] + [_layer_proof_arrays(proof.layers[i])
+                         for i in range(1, cc.depth)],
+        root_l=np.asarray(l_oracle.tree[:, 1]),
+        root_h=np.asarray(h_oracle.tree[:, 1]),
+        all_sum=all_sum_np,
+        level_roots=level_roots,
+        final_codeword=np.asarray(ldt.final_codeword),
+        fft_gkr_messages=fg.messages,
+        queries=answers,
+        meta=dict(mode=1, bl0=bl0, depth=cc.depth))
+    info = dict(prove_time=time.time() - t0,
+                gkr_proof_size=gkr_proof_size_bytes(cc),
+                pc_proof_size=fg.proof_size + query_size + 2 * 32 + 16,
+                fft_gkr_ok=fg.ok)
+    return full, info
+
+
+def verify_fs(circuit: LayeredCircuit, full: proof_io.FullProof,
+              compiled: Optional[CompiledProver] = None) -> Report:
+    """Verify a Fiat-Shamir proof: all challenges re-derived from the
+    proof contents (no shared randomness stream)."""
+    from .gkr import fs as fs_mod
+
+    cp = compiled or compile_prover(circuit)
+    cc = cp.cc
+    bl0 = cc.layers[0].bit_length
+    t0 = time.time()
+
+    proof = protocol.Proof(
+        vres=jnp.asarray(full.vres),
+        layers=[None] + [_layer_proof_from(full.layers[i])
+                         for i in range(1, cc.depth)])
+    ch, sp = fs_mod.derive_challenges(cc, proof, jnp.asarray(full.root_l))
+    gkr_ok, previous_sum, final_point = cp.verifier(proof, ch, None)
+    gkr_ok = bool(gkr_ok)
+
+    q_values, q_coefs = cp.q_prepare_fn(final_point)
+
+    sp.absorb_digest_words(full.root_h)
+    all_sum_np = np.asarray(full.all_sum)
+    sp.absorb_elems([(int(all_sum_np[0, k]), int(all_sum_np[1, k]))
+                     for k in range(all_sum_np.shape[1])])
+    fg = fft_gkr.run(bl0 - virgo_pc.LOG_SLICE, sp,
+                     replay=full.fft_gkr_messages)
+    rand_fq2 = []
+    for k in range(full.level_roots.shape[0]):
+        r, i = sp.squeeze()
+        rand_fq2.append(Fq2.raw(r, i))
+        sp.absorb_digest_words(full.level_roots[k])
+    pows = vpd.draw_positions(sp, bl0)
+    all_sum_fq2 = [Fq2.raw(int(all_sum_np[0, k]), int(all_sum_np[1, k]))
+                   for k in range(virgo_pc.SLICES + 1)]
+    lroots = [full.level_roots[k].tobytes()
+              for k in range(full.level_roots.shape[0])]
+    pc_ok = vpd.check_queries(
+        pows, full.queries, bl0, rand_fq2, lroots, np.asarray(q_coefs),
+        all_sum_fq2, np.asarray(full.root_l).tobytes(),
+        np.asarray(full.root_h).tobytes(), full.final_codeword)
+
+    ps = Fq2.raw(int(np.asarray(previous_sum)[0]),
+                 int(np.asarray(previous_sum)[1]))
+    tot = Fq2.raw(0, 0)
+    for x in all_sum_fq2:
+        tot = tot + x
+    input_check = (tot == ps)
+    pc_ok = bool(pc_ok) and fg.ok and input_check
+    return Report(
+        ok=gkr_ok and pc_ok, gkr_ok=gkr_ok, pc_ok=pc_ok,
+        input_size=cc.n_inputs,
+        gkr_proof_size=gkr_proof_size_bytes(cc), pc_proof_size=0,
+        verify_time=time.time() - t0,
+        details=dict(fft_gkr_ok=fg.ok, input_check=input_check))
+
+
 def run(pws_path: Optional[str] = None,
         circuit: Optional[LayeredCircuit] = None,
         compiled: Optional[CompiledProver] = None,

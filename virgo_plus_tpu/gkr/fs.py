@@ -336,6 +336,26 @@ class HostSponge:
     def squeeze_vec(self, n):
         return [self.squeeze() for _ in range(n)]
 
+    # rng-adapter API (GlibcRandom-compatible) so transcript-seeded
+    # components (fft_gkr, query positions) can draw from the sponge
+    def field_element(self):
+        return self.squeeze()
+
+    def rand(self):
+        r, _ = self.squeeze()
+        return r & 0x7FFFFFFF
+
+    @staticmethod
+    def from_device_state(D):
+        sp = HostSponge.__new__(HostSponge)
+        sp.state = b"".join(int(x).to_bytes(8, "little")
+                            for x in np.asarray(D))
+        return sp
+
+    def absorb_digest_words(self, words4):
+        w = np.asarray(words4)
+        self.absorb_pair((int(w[0]), int(w[1])), (int(w[2]), int(w[3])))
+
 
 def derive_challenges(cc, proof: protocol.Proof, root_l):
     """Verifier side: re-derive every FS challenge from the proof messages
