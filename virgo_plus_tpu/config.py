@@ -1,0 +1,40 @@
+"""Typed protocol configuration (SURVEY.md §5.6).
+
+The reference hardcodes its parameters as compile-time constants
+(/root/reference/lib/virgo/src/constants.h:4-13) selected by a CMake cache
+variable.  Here the same knobs are a runtime dataclass with the reference
+values as defaults; pc/virgo_pc.py's module constants mirror the defaults
+for the hot paths (changing slice/rate requires recompiling the jitted
+pipelines anyway, so non-default configs construct their own pipeline via
+``apply()``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ProtocolConfig:
+    # field: GF((2^61-1)^2); the Mersenne prime is load-bearing for the
+    # shift-based reductions, so it is intentionally not configurable.
+    log_slice_number: int = 6        # constants.h:8
+    rs_code_rate: int = 5            # constants.h:10 (rate 1/32)
+    ldt_repeat_num: int = 33         # constants.h:5
+    max_bit_length: int = 30         # constants.h:11
+    max_fri_depth: int = 30          # constants.h:4
+    # transcript mode: "glibc" (reference-parity interactive stream) or
+    # "fs" (non-interactive, SHA3 sponge)
+    transcript: str = "glibc"
+    seed: int = 3396                 # fieldElement.cpp:108
+    bug_compat: bool = True          # main.cpp:104-110 fallthrough
+    # mesh shape for multi-chip runs: (dp, sp); None = single chip
+    mesh: Optional[Tuple[int, int]] = None
+
+    @property
+    def slice_number(self) -> int:
+        return 1 << self.log_slice_number
+
+
+DEFAULT = ProtocolConfig()
