@@ -1,0 +1,104 @@
+"""Mutation battery: every tampered region of a serialized proof must be
+rejected (SURVEY.md §4c)."""
+
+import numpy as np
+import pytest
+
+from virgo_plus_tpu import driver, proof_io
+from virgo_plus_tpu.circuits.layered import randomize, subset_init
+
+MOD = (1 << 61) - 1
+
+
+@pytest.fixture(scope="module")
+def setup():
+    c = randomize(3, 7, seed=21)
+    subset_init(c)
+    cp = driver.compile_prover(c)
+    full, info = driver.prove(c, cp)
+    rep = driver.verify(c, full, cp)
+    assert rep.ok
+    return c, cp, full
+
+
+def _reload(full):
+    """round-trip through serialization to also cover proof_io"""
+    import io
+    buf = io.BytesIO()
+    proof_io.save(buf, full)
+    buf.seek(0)
+    return proof_io.load(buf)
+
+
+def test_serialization_roundtrip_verifies(setup):
+    c, cp, full = setup
+    full2 = _reload(full)
+    assert driver.verify(c, full2, cp).ok
+
+
+def test_reject_vres(setup):
+    c, cp, full = setup
+    f = _reload(full)
+    f.vres = f.vres.copy()
+    f.vres[0] = (int(f.vres[0]) + 1) % MOD
+    assert not driver.verify(c, f, cp).ok
+
+
+def test_reject_claim(setup):
+    c, cp, full = setup
+    f = _reload(full)
+    lp = f.layers[c.size - 1]
+    lp["claim_u"] = lp["claim_u"].copy()
+    lp["claim_u"][0] = (int(lp["claim_u"][0]) + 1) % MOD
+    assert not driver.verify(c, f, cp).ok
+
+
+def test_reject_liu_claim(setup):
+    c, cp, full = setup
+    f = _reload(full)
+    lp = f.layers[1]
+    lp["liu_claim"] = lp["liu_claim"].copy()
+    lp["liu_claim"][1] = (int(lp["liu_claim"][1]) + 1) % MOD
+    assert not driver.verify(c, f, cp).ok
+
+
+def test_reject_root_l(setup):
+    c, cp, full = setup
+    f = _reload(full)
+    f.root_l = f.root_l.copy()
+    f.root_l[0] ^= np.uint64(1)
+    assert not driver.verify(c, f, cp).ok
+
+
+def test_reject_query_value(setup):
+    c, cp, full = setup
+    f = _reload(full)
+    pairs, path = f.queries.init_l[0]
+    (a, b0) = pairs[3]
+    pairs[3] = ((a[0] ^ 1, a[1]), b0)
+    assert not driver.verify(c, f, cp).ok
+
+
+def test_reject_merkle_path(setup):
+    c, cp, full = setup
+    f = _reload(full)
+    pairs, path = f.queries.levels[0][0]
+    path[0] = bytes([path[0][0] ^ 1]) + path[0][1:]
+    assert not driver.verify(c, f, cp).ok
+
+
+def test_reject_final_codeword(setup):
+    c, cp, full = setup
+    f = _reload(full)
+    f.final_codeword = f.final_codeword.copy()
+    f.final_codeword[0, 0, 0] = (int(f.final_codeword[0, 0, 0]) + 1) % MOD
+    assert not driver.verify(c, f, cp).ok
+
+
+def test_reject_fft_gkr_message(setup):
+    c, cp, full = setup
+    f = _reload(full)
+    f.fft_gkr_messages = [m.copy() for m in f.fft_gkr_messages]
+    m = f.fft_gkr_messages[2]
+    m.flat[0] = (int(m.flat[0]) + 1) % MOD
+    assert not driver.verify(c, f, cp).ok

@@ -156,3 +156,59 @@ def mle_fold(values, rs):
         v0, v1 = values[:, 0::2], values[:, 1::2]
         values = gf.add(gf.mul(v0, gf.sub(gf.ones((1,)), r)), gf.mul(v1, r))
     return values[:, 0]
+
+
+def scan_sumcheck_batched(v, a, m, rs):
+    """Batched sumcheck: K independent tables of the same size fold
+    simultaneously (used to fuse same-shape phases across layers — they are
+    independent once challenges are precomputed).
+
+    v, a, m: (2, K, 2^bl); rs: (2, K, bl) per-table challenges.
+    Returns (polys (bl, K, 2, 3), bound (v, a, m) each (2, K))."""
+    bl = rs.shape[2]
+    k = v.shape[1]
+    n = v.shape[2]
+    assert n == 1 << bl, (n, bl)
+    if bl == 0:
+        return (jnp.zeros((0, k, 2, 3), jnp.uint64),
+                (v[:, :, 0], a[:, :, 0], m[:, :, 0]))
+    half = n // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, half), 2)
+
+    def tsum(x):
+        # (2, K, half) -> (2, K)
+        nn = x.shape[2]
+        while nn > 1:
+            x = gf.add(x[:, :, 0::2], x[:, :, 1::2])
+            nn //= 2
+        return x[:, :, 0]
+
+    def body(carry, x):
+        cv, ca, cm = carry
+        r, j = x                      # r: (2, K)
+        rr = r[:, :, None]
+        v0, v1 = cv[:, :, 0::2], cv[:, :, 1::2]
+        a0, a1 = ca[:, :, 0::2], ca[:, :, 1::2]
+        m0, m1 = cm[:, :, 0::2], cm[:, :, 1::2]
+        dv = gf.sub(v1, v0)
+        da = gf.sub(a1, a0)
+        dm = gf.sub(m1, m0)
+        pa = gf.mul(dm, dv)
+        pb = gf.add(gf.add(gf.mul(dm, v0), gf.mul(m0, dv)), da)
+        pc = gf.add(gf.mul(m0, v0), a0)
+        mask = lane < (half >> j)
+        poly = jnp.stack([tsum(jnp.where(mask, pa, 0)),
+                          tsum(jnp.where(mask, pb, 0)),
+                          tsum(jnp.where(mask, pc, 0))], axis=2)  # (2,K,3)
+        nv = gf.add(v0, gf.mul(dv, rr))
+        na = gf.add(a0, gf.mul(da, rr))
+        nm = gf.add(m0, gf.mul(dm, rr))
+        pad = ((0, 0), (0, 0), (0, half))
+        return ((jnp.pad(nv, pad), jnp.pad(na, pad), jnp.pad(nm, pad)),
+                poly)
+
+    xs = (jnp.moveaxis(rs, 2, 0), jnp.arange(bl, dtype=jnp.int32))
+    (fv, fa, fm), polys = jax.lax.scan(body, (v, a, m), xs)
+    # polys: (bl, 2, K, 3) -> (bl, K, 2, 3)
+    polys = jnp.moveaxis(polys, 1, 2)
+    return polys, (fv[:, :, 0], fa[:, :, 0], fm[:, :, 0])
