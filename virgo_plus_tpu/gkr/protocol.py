@@ -275,171 +275,53 @@ def prove_layer(cc: CompiledCircuit, plans, i: int, values, r_cur,
 
 
 def prove(cc: CompiledCircuit, plans, values, ch: Challenges) -> Proof:
-    """Full GKR proof.  With the (message-independent) challenge schedule
-    known up front, every layer's phases are independent computations; all
-    sumchecks of the same table size are fused into ONE batched scan
-    (scan_sumcheck_batched) — for SHA256_64 this turns ~130 scan bodies
-    into ~15, cutting XLA compile time and kernel-dispatch overhead while
-    producing bit-identical messages."""
+    """Full GKR proof (traceable; used fused under one jit or staged via
+    make_prover).  All sumchecks of the same table size fuse into ONE
+    batched scan — layers are independent once the (message-independent)
+    challenge schedule is fixed — producing bit-identical messages with
+    ~10x fewer scan bodies than a per-layer walk."""
     depth = cc.depth
-    one = gf.ones(())
-    zero = jnp.zeros((2,), jnp.uint64)
-    vres = mle_fold(_values_block(cc, values, depth - 1), ch.r_out)
-
-    # ---- per-layer phase-1 inits (gathers + scatter plans, non-scan) ----
-    p1_jobs = {}            # bl_prev -> [(layer, v, a, m, rs)]
-    layer_bg = {}
+    p1_groups = {}
     for i in range(depth - 1, 0, -1):
-        L = cc.layers[i]
-        P = plans[i]
-        chl = ch.layers[i]
-        bl_prev = cc.layers[i - 1].bit_length
-        r_cur = (ch.r_out if i == depth - 1
-                 else ch.layers[i + 1].r_liu[:, :L.bit_length])
-        bg_full = beta_table(r_cur, L.bit_length, one)
-        bg_full = _scale_beta_asserts(cc, i, bg_full, chl.assert_r)
-        bg = bg_full[:, :L.size]
-        layer_bg[i] = bg
-        y = values[:, L.y_idx]
-        A, B, C, D = L.coeff[0], L.coeff[1], L.coeff[2], L.coeff[3]
-        add_c = gf.mul(bg, gf.add(gf.mul(B, y), D))
-        mult_c = gf.mul(bg, gf.add(A, gf.mul(C, y)))
-        p1_jobs.setdefault(bl_prev, []).append(
-            (i, _values_block(cc, values, i - 1), P.p1.apply(add_c),
-             P.p1.apply(mult_c), chl.r_u[:, :bl_prev]))
-
-    p1_res = {}
-    for bl, jobs in sorted(p1_jobs.items()):
-        vs = jnp.stack([j[1] for j in jobs], axis=1)
-        as_ = jnp.stack([j[2] for j in jobs], axis=1)
-        ms = jnp.stack([j[3] for j in jobs], axis=1)
-        rs = jnp.stack([j[4] for j in jobs], axis=1)
-        polys, (vb, _, _) = scan_sumcheck_batched(vs, as_, ms, rs)
-        for k, j in enumerate(jobs):
-            p1_res[j[0]] = (polys[:, k], vb[:, k])
-
-    # ---- phase-2: per-layer inits, size-grouped table scans -------------
-    p2_scan_jobs = {}       # bl_l -> [(layer, li, v, a, m, rs)]
-    p2_layers = []
+        p1_groups.setdefault(cc.layers[i - 1].bit_length, []).append(i)
+    p2_groups = {}
     for i in range(depth - 1, 0, -1):
         L = cc.layers[i]
         if L.max_dad_bit_length < 0:
             continue
-        P = plans[i]
-        chl = ch.layers[i]
-        bl_prev = cc.layers[i - 1].bit_length
-        claim_u = p1_res[i][1]
-        bg = layer_bg[i]
-        A, B, C, D = L.coeff[0], L.coeff[1], L.coeff[2], L.coeff[3]
-        beta_u = beta_table(chl.r_u[:, :bl_prev], bl_prev, one)
-        tmp_g = gf.mul(bg, beta_u[:, L.x_idx])
-        cu = claim_u[:, None]
-        addV = P.p2.apply(gf.mul(tmp_g, gf.add(gf.mul(A, cu), D)))
-        multV = P.p2.apply(gf.mul(tmp_g, gf.add(B, gf.mul(C, cu))))
-        dg = L.dad_gather_idx
-        vdad = jnp.where(jnp.asarray(np.asarray(dg) >= 0)[None, :],
-                         values[:, jnp.clip(dg, 0)], 0)
-        p2_layers.append(i)
-        for li in range(i):
-            if L.dad_sizes[li] == 0:
-                continue
-            bl_l = L.dad_bls[li]
-            off = L.dad_offsets[li]
-            sl = slice(off, off + (1 << bl_l))
-            p2_scan_jobs.setdefault(bl_l, []).append(
-                (i, li, vdad[:, sl], addV[:, sl], multV[:, sl],
-                 chl.r_v[:, :bl_l]))
-
-    p2_res = {}
-    for bl, jobs in sorted(p2_scan_jobs.items()):
-        vs = jnp.stack([j[2] for j in jobs], axis=1)
-        as_ = jnp.stack([j[3] for j in jobs], axis=1)
-        ms = jnp.stack([j[4] for j in jobs], axis=1)
-        rs = jnp.stack([j[5] for j in jobs], axis=1)
-        polys, (vb, ab, mb) = scan_sumcheck_batched(vs, as_, ms, rs)
-        for k, j in enumerate(jobs):
-            p2_res[(j[0], j[1])] = (polys[:, k],
-                                    (vb[:, k], ab[:, k], mb[:, k]))
-
-    # combine per layer: round messages + add_term chain (prover.cpp:436-492)
-    p2_out = {}
-    for i in p2_layers:
-        L = cc.layers[i]
-        chl = ch.layers[i]
-        mdb = L.max_dad_bit_length
-        a_term = zero
-        out_polys = []
-        for j in range(mdb):
-            if j > 0:
-                a_term = gf.mul(a_term, gf.sub(one, chl.r_v[:, j - 1]))
-            pj = jnp.zeros((2, 3), jnp.uint64)
-            for li in range(i):
-                if L.dad_sizes[li] == 0:
-                    continue
-                bl_l = L.dad_bls[li]
-                polys_l, bounds_l = p2_res[(i, li)]
-                if j < bl_l:
-                    pj = gf.add(pj, polys_l[j])
-                elif j == bl_l:
-                    vb, ab, mb = bounds_l
-                    a_term = gf.add(a_term, gf.add(gf.mul(vb, mb), ab))
-            pj = gf.add(pj, jnp.stack([zero, gf.neg(a_term), a_term],
-                                      axis=1))
-            out_polys.append(pj)
-        p2_polys = (jnp.stack(out_polys) if out_polys
-                    else jnp.zeros((0, 2, 3), jnp.uint64))
-        cl = []
         for li in range(i):
             if L.dad_sizes[li] > 0:
-                cl.append(p2_res[(i, li)][1][0])
-            else:
-                cl.append(zero)
-        claims_v = jnp.stack(cl) if cl else jnp.zeros((0, 2), jnp.uint64)
-        p2_out[i] = (p2_polys, claims_v)
+                p2_groups.setdefault(L.dad_bls[li], []).append((i, li))
 
-    # ---- Liu: per-layer inits, size-grouped scans -----------------------
-    liu_jobs = {}
-    for i in range(depth - 1, 0, -1):
-        P = plans[i]
-        chl = ch.layers[i]
-        bl_prev = cc.layers[i - 1].bit_length
-        sig = chl.sig
-        bsig = beta_table(chl.r_u[:, :bl_prev], bl_prev, sig[:, 0])
-        pre_size = cc.layers[i - 1].size
-        multL = jnp.pad(bsig[:, :pre_size],
-                        ((0, 0), (0, cc.layers[i - 1].padded - pre_size)))
-        if P.liu_plan is not None:
-            parts = []
-            for (j, ds, bl_jl, off) in P.liu_consumers:
-                ch_j = ch.layers[j]
-                bt = beta_table(ch_j.r_v[:, :bl_jl], bl_jl,
-                                sig[:, j - i + 1])
-                parts.append(bt[:, :ds])
-            multL = gf.add(multL,
-                           P.liu_plan.apply(jnp.concatenate(parts, axis=1)))
-        liu_jobs.setdefault(bl_prev, []).append(
-            (i, _values_block(cc, values, i - 1), jnp.zeros_like(multL),
-             multL, chl.r_liu[:, :bl_prev]))
-
-    liu_res = {}
-    for bl, jobs in sorted(liu_jobs.items()):
-        vs = jnp.stack([j[1] for j in jobs], axis=1)
-        as_ = jnp.stack([j[2] for j in jobs], axis=1)
-        ms = jnp.stack([j[3] for j in jobs], axis=1)
-        rs = jnp.stack([j[4] for j in jobs], axis=1)
-        polys, (vb, _, _) = scan_sumcheck_batched(vs, as_, ms, rs)
-        for k, j in enumerate(jobs):
-            liu_res[j[0]] = (polys[:, k], vb[:, k])
+    vres, p1_stacked, liu_stacked = _prove_inits(cc, plans, values, ch)
+    p1_res = _apply_grouped(p1_stacked, p1_groups)
+    claims = {i: p1_res[i][1] for i in p1_res}
+    p2_stacked = _prove_p2_inits(cc, plans, values, ch, claims)
+    p2_scan = _apply_grouped(p2_stacked, p2_groups, bounds=True)
+    p2_out = _prove_p2_combine(cc, ch, p2_scan)
+    liu_res = _apply_grouped(liu_stacked, p1_groups)
 
     layer_proofs: List[Optional[LayerProof]] = [None] * depth
     for i in range(depth - 1, 0, -1):
-        p1_polys, claim_u = p1_res[i]
         p2_polys, claims_v = p2_out.get(i, (None, None))
-        liu_polys, liu_claim = liu_res[i]
         layer_proofs[i] = LayerProof(
-            p1_polys=p1_polys, claim_u=claim_u, p2_polys=p2_polys,
-            claims_v=claims_v, liu_polys=liu_polys, liu_claim=liu_claim)
+            p1_polys=p1_res[i][0], claim_u=p1_res[i][1],
+            p2_polys=p2_polys, claims_v=claims_v,
+            liu_polys=liu_res[i][0], liu_claim=liu_res[i][1])
     return Proof(vres=vres, layers=layer_proofs)
+
+
+def _apply_grouped(stacked, groups, bounds=False):
+    """Trace-inline version of _run_grouped (no per-group jit)."""
+    out = {}
+    for bl, arrs in sorted(stacked.items()):
+        polys, (vb, ab, mb) = scan_sumcheck_batched(*arrs)
+        for kk, tag in enumerate(groups[bl]):
+            if bounds:
+                out[tag] = (polys[:, kk], (vb[:, kk], ab[:, kk], mb[:, kk]))
+            else:
+                out[tag] = (polys[:, kk], vb[:, kk])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -563,9 +445,212 @@ def verify(cc: CompiledCircuit, proof: Proof, ch: Challenges,
 # Jitted entry points (circuit/plans closed over as compile-time constants)
 # ---------------------------------------------------------------------------
 
-def make_prover(cc: CompiledCircuit, plans):
-    """Returns jitted prove(values, challenges) -> Proof."""
-    return jax.jit(lambda values, ch: prove(cc, plans, values, ch))
+def make_prover(cc: CompiledCircuit, plans, staged: bool = True):
+    """Returns prove(values, challenges) -> Proof.
+
+    staged=True (default): the prover runs as a handful of separately
+    jitted stages — phase inits, one batched scan per table size, the
+    phase-2 combine — instead of one mega-jit.  Compiles in seconds
+    instead of tens of minutes (the XLA/TPU compile of the fused graph
+    dominates wall time otherwise) at the cost of a few extra dispatches;
+    the batched scan executables are shared across shapes and circuits.
+    staged=False: the original single-jit fusion."""
+    if not staged:
+        return jax.jit(lambda values, ch: prove(cc, plans, values, ch))
+
+    # static group plans: which layers/tables fold together per size
+    p1_groups = {}
+    for i in range(cc.depth - 1, 0, -1):
+        p1_groups.setdefault(cc.layers[i - 1].bit_length, []).append(i)
+    p2_groups = {}
+    for i in range(cc.depth - 1, 0, -1):
+        L = cc.layers[i]
+        if L.max_dad_bit_length < 0:
+            continue
+        for li in range(i):
+            if L.dad_sizes[li] > 0:
+                p2_groups.setdefault(L.dad_bls[li], []).append((i, li))
+
+    inits_fn = jax.jit(lambda values, ch: _prove_inits(cc, plans, values, ch))
+    p2init_fn = jax.jit(
+        lambda values, ch, claims: _prove_p2_inits(cc, plans, values, ch,
+                                                   claims))
+    combine_fn = jax.jit(lambda ch, scans: _prove_p2_combine(cc, ch, scans))
+
+    def run(values, ch):
+        vres, p1_stacked, liu_stacked = inits_fn(values, ch)
+        p1_res = _run_grouped(p1_stacked, p1_groups)
+        claims = {i: p1_res[i][1] for i in p1_res}
+        p2_stacked = p2init_fn(values, ch, claims)
+        p2_scan = _run_grouped(p2_stacked, p2_groups, bounds=True)
+        p2_out = combine_fn(ch, p2_scan)
+        liu_res = _run_grouped(liu_stacked, p1_groups)
+        depth = cc.depth
+        layer_proofs = [None] * depth
+        for i in range(depth - 1, 0, -1):
+            p2_polys, claims_v = p2_out.get(i, (None, None))
+            layer_proofs[i] = LayerProof(
+                p1_polys=p1_res[i][0], claim_u=p1_res[i][1],
+                p2_polys=p2_polys, claims_v=claims_v,
+                liu_polys=liu_res[i][0], liu_claim=liu_res[i][1])
+        return Proof(vres=vres, layers=layer_proofs)
+
+    return run
+
+
+_SCAN_JIT = jax.jit(scan_sumcheck_batched) if False else None
+
+
+def _batched_scan_jit():
+    global _SCAN_JIT
+    if _SCAN_JIT is None:
+        _SCAN_JIT = jax.jit(scan_sumcheck_batched)
+    return _SCAN_JIT
+
+
+def _run_grouped(stacked, groups, bounds=False):
+    """stacked: {bl: (vs, as, ms, rs)} (already batched inside a jit stage);
+    groups: {bl: [tag, ...]} static tag order.  Returns {tag: result}."""
+    out = {}
+    for bl, arrs in sorted(stacked.items()):
+        polys, (vb, ab, mb) = _batched_scan_jit()(*arrs)
+        for kk, tag in enumerate(groups[bl]):
+            if bounds:
+                out[tag] = (polys[:, kk], (vb[:, kk], ab[:, kk], mb[:, kk]))
+            else:
+                out[tag] = (polys[:, kk], vb[:, kk])
+    return out
+
+
+def _prove_inits(cc, plans, values, ch):
+    """Stage 1: vres + phase-1 and Liu table inits for every layer."""
+    depth = cc.depth
+    one = gf.ones(())
+    vres = mle_fold(_values_block(cc, values, depth - 1), ch.r_out)
+    p1_jobs = {}
+    liu_jobs = {}
+    for i in range(depth - 1, 0, -1):
+        L = cc.layers[i]
+        P = plans[i]
+        chl = ch.layers[i]
+        bl_prev = cc.layers[i - 1].bit_length
+        r_cur = (ch.r_out if i == depth - 1
+                 else ch.layers[i + 1].r_liu[:, :L.bit_length])
+        bg_full = beta_table(r_cur, L.bit_length, one)
+        bg_full = _scale_beta_asserts(cc, i, bg_full, chl.assert_r)
+        bg = bg_full[:, :L.size]
+        y = values[:, L.y_idx]
+        A, B, C, D = L.coeff[0], L.coeff[1], L.coeff[2], L.coeff[3]
+        add_c = gf.mul(bg, gf.add(gf.mul(B, y), D))
+        mult_c = gf.mul(bg, gf.add(A, gf.mul(C, y)))
+        p1_jobs.setdefault(bl_prev, []).append(
+            (_values_block(cc, values, i - 1), P.p1.apply(add_c),
+             P.p1.apply(mult_c), chl.r_u[:, :bl_prev]))
+        sig = chl.sig
+        bsig = beta_table(chl.r_u[:, :bl_prev], bl_prev, sig[:, 0])
+        pre_size = cc.layers[i - 1].size
+        multL = jnp.pad(bsig[:, :pre_size],
+                        ((0, 0), (0, cc.layers[i - 1].padded - pre_size)))
+        if P.liu_plan is not None:
+            parts = []
+            for (j, ds, bl_jl, off) in P.liu_consumers:
+                ch_j = ch.layers[j]
+                bt = beta_table(ch_j.r_v[:, :bl_jl], bl_jl,
+                                sig[:, j - i + 1])
+                parts.append(bt[:, :ds])
+            multL = gf.add(multL,
+                           P.liu_plan.apply(jnp.concatenate(parts, axis=1)))
+        liu_jobs.setdefault(bl_prev, []).append(
+            (_values_block(cc, values, i - 1), jnp.zeros_like(multL),
+             multL, chl.r_liu[:, :bl_prev]))
+    return (vres, _stack_jobs(p1_jobs), _stack_jobs(liu_jobs))
+
+
+def _stack_jobs(jobs):
+    return {bl: tuple(jnp.stack([g[k] for g in group], axis=1)
+                      for k in range(4))
+            for bl, group in jobs.items()}
+
+
+def _prove_p2_inits(cc, plans, values, ch, claims):
+    """Stage 2: phase-2 scatter inits (needs phase-1 claims)."""
+    one = gf.ones(())
+    p2_jobs = {}
+    for i in range(cc.depth - 1, 0, -1):
+        L = cc.layers[i]
+        if L.max_dad_bit_length < 0:
+            continue
+        P = plans[i]
+        chl = ch.layers[i]
+        bl_prev = cc.layers[i - 1].bit_length
+        claim_u = claims[i]
+        r_cur = (ch.r_out if i == cc.depth - 1
+                 else ch.layers[i + 1].r_liu[:, :L.bit_length])
+        bg_full = beta_table(r_cur, L.bit_length, one)
+        bg_full = _scale_beta_asserts(cc, i, bg_full, chl.assert_r)
+        bg = bg_full[:, :L.size]
+        A, B, C, D = L.coeff[0], L.coeff[1], L.coeff[2], L.coeff[3]
+        beta_u = beta_table(chl.r_u[:, :bl_prev], bl_prev, one)
+        tmp_g = gf.mul(bg, beta_u[:, L.x_idx])
+        cu = claim_u[:, None]
+        addV = P.p2.apply(gf.mul(tmp_g, gf.add(gf.mul(A, cu), D)))
+        multV = P.p2.apply(gf.mul(tmp_g, gf.add(B, gf.mul(C, cu))))
+        dg = L.dad_gather_idx
+        vdad = jnp.where(jnp.asarray(np.asarray(dg) >= 0)[None, :],
+                         values[:, jnp.clip(dg, 0)], 0)
+        for li in range(i):
+            if L.dad_sizes[li] == 0:
+                continue
+            bl_l = L.dad_bls[li]
+            off = L.dad_offsets[li]
+            sl = slice(off, off + (1 << bl_l))
+            p2_jobs.setdefault(bl_l, []).append(
+                (vdad[:, sl], addV[:, sl], multV[:, sl],
+                 chl.r_v[:, :bl_l]))
+    return _stack_jobs(p2_jobs)
+
+
+def _prove_p2_combine(cc, ch, p2_res):
+    """Stage 3: per-layer round messages + add_term chain + claims."""
+    one = gf.ones(())
+    zero = jnp.zeros((2,), jnp.uint64)
+    p2_out = {}
+    for i in range(cc.depth - 1, 0, -1):
+        L = cc.layers[i]
+        if L.max_dad_bit_length < 0:
+            continue
+        chl = ch.layers[i]
+        mdb = L.max_dad_bit_length
+        a_term = zero
+        out_polys = []
+        for j in range(mdb):
+            if j > 0:
+                a_term = gf.mul(a_term, gf.sub(one, chl.r_v[:, j - 1]))
+            pj = jnp.zeros((2, 3), jnp.uint64)
+            for li in range(i):
+                if L.dad_sizes[li] == 0:
+                    continue
+                bl_l = L.dad_bls[li]
+                polys_l, bounds_l = p2_res[(i, li)]
+                if j < bl_l:
+                    pj = gf.add(pj, polys_l[j])
+                elif j == bl_l:
+                    vb, ab, mb = bounds_l
+                    a_term = gf.add(a_term, gf.add(gf.mul(vb, mb), ab))
+            pj = gf.add(pj, jnp.stack([zero, gf.neg(a_term), a_term],
+                                      axis=1))
+            out_polys.append(pj)
+        p2_polys = (jnp.stack(out_polys) if out_polys
+                    else jnp.zeros((0, 2, 3), jnp.uint64))
+        cl = []
+        for li in range(i):
+            if L.dad_sizes[li] > 0:
+                cl.append(p2_res[(i, li)][1][0])
+            else:
+                cl.append(zero)
+        claims_v = jnp.stack(cl) if cl else jnp.zeros((0, 2), jnp.uint64)
+        p2_out[i] = (p2_polys, claims_v)
+    return p2_out
 
 
 def make_verifier(cc: CompiledCircuit):
