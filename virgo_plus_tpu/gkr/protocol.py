@@ -653,9 +653,48 @@ def _prove_p2_combine(cc, ch, p2_res):
     return p2_out
 
 
-def make_verifier(cc: CompiledCircuit):
-    """Returns jitted verify(proof, challenges, output_values)."""
-    return jax.jit(lambda proof, ch, out: verify(cc, proof, ch, out))
+def make_verifier(cc: CompiledCircuit, staged: bool = True):
+    """Returns verify(proof, challenges, output_values).
+
+    staged=True: one jit per layer (layers verify independently — the
+    previousSum entering layer i is the upper layer's Liu claim, which is
+    proof data), compiling in seconds; staged=False: single fused jit."""
+    if not staged:
+        return jax.jit(lambda proof, ch, out: verify(cc, proof, ch, out))
+
+    layer_fns = {}
+
+    def layer_fn(i):
+        fn = layer_fns.get(i)
+        if fn is None:
+            fn = jax.jit(
+                lambda lp, r_cur, chl, prev, proof, ch:
+                verify_layer(cc, i, lp, r_cur, chl, prev, proof, ch))
+            layer_fns[i] = fn
+        return fn
+
+    vres_fn = jax.jit(
+        lambda out, r_out, vres: jnp.all(mle_fold(out, r_out) == vres))
+
+    def run(proof, ch, output_values=None):
+        depth = cc.depth
+        previous_sum = proof.vres
+        oks = []
+        if output_values is not None:
+            oks.append(vres_fn(output_values, ch.r_out, proof.vres))
+        r_cur = ch.r_out
+        for i in range(depth - 1, 0, -1):
+            ok_i, previous_sum = layer_fn(i)(
+                proof.layers[i], r_cur, ch.layers[i], previous_sum,
+                proof, ch)
+            oks.append(ok_i)
+            r_cur = ch.layers[i].r_liu[:, :cc.layers[i - 1].bit_length]
+        ok = oks[0]
+        for o in oks[1:]:
+            ok = ok & o
+        return ok, previous_sum, r_cur
+
+    return run
 
 
 def make_evaluator(cc: CompiledCircuit):
