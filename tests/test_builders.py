@@ -44,3 +44,27 @@ def test_builder_circuit_proves():
     out_block = values[:, int(cc.value_off[cc.depth - 1]):]
     ok, _, _ = protocol.make_verifier(cc)(proof, ch, out_block)
     assert bool(ok)
+
+
+def test_assert_gates():
+    import pytest
+    from virgo_plus_tpu import driver
+
+    def make(ok):
+        cb = CircuitBuilder()
+        xs = [cb.input(v) for v in range(2, 130)]  # 128 inputs
+        y = cb.sum([cb.mul(xs[i], xs[i + 1]) for i in range(0, 128, 2)])
+        d = cb.sub(y, y) if ok else cb.sub(y, xs[0])
+        cb.assert_zero(d)
+        cb.add(y, d)
+        return cb.build()
+
+    c_ok = make(True)
+    cp = driver.compile_prover(c_ok)
+    full, info = driver.prove(c_ok, cp)
+    assert driver.verify(c_ok, full, cp).ok
+
+    c_bad = make(False)
+    cp2 = driver.compile_prover(c_bad)
+    with pytest.raises(ValueError, match="assert gate failed"):
+        driver.prove(c_bad, cp2)

@@ -90,6 +90,14 @@ class CircuitBuilder:
             layer = nxt
         return layer[0]
 
+    def assert_zero(self, a) -> None:
+        """Mark a wire as an assert gate: the prover must refuse to prove
+        unless it evaluates to zero (reference setAssertion/prover ctor,
+        src/main.cpp:233-236, src/prover.cpp:14-25; machinery is dead code
+        in the reference CLI but live protocol support exists via
+        assert_random binding, verifier.cpp:202,50-54)."""
+        self._gates[a.idx].is_assert = True
+
     def build(self, bug_compat: bool = False) -> LayeredCircuit:
         dag = DAG(gates=list(self._gates))
         c = dag_to_layered(dag, bug_compat=bug_compat)

@@ -53,6 +53,21 @@ class Report:
     details: dict = dc_field(default_factory=dict)
 
 
+def _check_asserts(cc, values) -> None:
+    """prover.cpp:14-25: refuse to prove when an assert gate is nonzero."""
+    for i in range(1, cc.depth):
+        L = cc.layers[i]
+        if not L.has_assert:
+            continue
+        off = int(cc.value_off[i])
+        block = np.asarray(values[:, off:off + L.size])
+        bad = (block != 0).any(axis=0) & L.is_assert
+        if bad.any():
+            g = int(np.argmax(bad))
+            raise ValueError(
+                f"assert gate failed: layer {i} gate {g} is nonzero")
+
+
 def gkr_proof_size_bytes(cc) -> int:
     """Reference accounting: 48B per round poly (prover.cpp:451), 16B per
     claim (500, 512)."""
@@ -155,6 +170,7 @@ def prove(circuit: LayeredCircuit, compiled: Optional[CompiledProver] = None,
 
     inputs = input_buffer(cc, witness)
     values = cp.evaluator(inputs)
+    _check_asserts(cc, values)
     rng = GlibcRandom(seed)
 
     l_oracle, _ = cp.commit_fn(inputs)
