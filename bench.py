@@ -42,7 +42,7 @@ def main():
     n_folds = bl0 - virgo_pc.LOG_SLICE
 
     evaluator = protocol.make_evaluator(cc)
-    prover = protocol.make_prover(cc, plans)
+    prover = protocol.make_prover(cc, plans, staged=False)
     commit_fn = jax.jit(lambda v: virgo_pc.commit_private(v, bl0))
     commit_pub_fn = jax.jit(
         lambda l_eval, fp: virgo_pc.commit_public(

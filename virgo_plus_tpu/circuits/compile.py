@@ -167,19 +167,28 @@ def input_buffer(cc: CompiledCircuit, witness: Optional[np.ndarray] = None):
     return gf.from_u64(vals[0], vals[1])
 
 
-def evaluate(cc: CompiledCircuit, inputs):
+def eval_arrays(cc: CompiledCircuit) -> dict:
+    """Gather/coefficient arrays as a pytree (passed as jit arguments so
+    they are parameters, not multi-MB inline constants)."""
+    return {f"x{i}": cc.layers[i].x_idx for i in range(1, cc.depth)} |            {f"y{i}": cc.layers[i].y_idx for i in range(1, cc.depth)} |            {f"co{i}": cc.layers[i].coeff for i in range(1, cc.depth)}
+
+
+def evaluate(cc: CompiledCircuit, inputs, arrs=None):
     """Forward pass: returns the concatenated (2, total_values) buffer.
 
     TPU shape: per layer, two gathers + fused A*x + B*y + C*x*y + D, written
     into a preallocated buffer (XLA reuses it in place inside jit).
     """
+    if arrs is None:
+        arrs = eval_arrays(cc)
     values = jnp.zeros((2, cc.total_values), dtype=jnp.uint64)
     values = jax.lax.dynamic_update_slice(values, inputs, (0, 0))
     for i in range(1, cc.depth):
         L = cc.layers[i]
-        x = values[:, int(cc.value_off[i - 1]) + L.x_idx]
-        y = values[:, L.y_idx]
-        A, B, C, D = L.coeff[0], L.coeff[1], L.coeff[2], L.coeff[3]
+        x = values[:, int(cc.value_off[i - 1]) + arrs[f"x{i}"]]
+        y = values[:, arrs[f"y{i}"]]
+        co = arrs[f"co{i}"]
+        A, B, C, D = co[0], co[1], co[2], co[3]
         out = gf.add(gf.add(gf.mul(A, x), gf.mul(B, y)),
                      gf.add(gf.mul(C, gf.mul(x, y)), D))
         if L.padded > L.size:

@@ -97,6 +97,28 @@ class LayerPlans:
     liu_plan: Optional[ScatterPlan]
 
 
+def circuit_arrays(cc: CompiledCircuit, plans) -> dict:
+    """All large per-layer index/coefficient arrays as one pytree, passed
+    into the staged jits as ARGUMENTS (closure capture would inline them as
+    dense constants — multi-MB MLIR, TPU compile-helper OOM)."""
+    arrs = {}
+    for i in range(1, cc.depth):
+        L = cc.layers[i]
+        P = plans[i]
+        arrs[f"x{i}"] = L.x_idx
+        arrs[f"y{i}"] = L.y_idx
+        arrs[f"co{i}"] = L.coeff
+        arrs[f"p1_{i}"] = P.p1.arrays()
+        if P.p2 is not None:
+            arrs[f"p2_{i}"] = P.p2.arrays()
+            arrs[f"dg{i}"] = jnp.clip(L.dad_gather_idx, 0)
+            arrs[f"dgm{i}"] = jnp.asarray(
+                np.asarray(L.dad_gather_idx) >= 0)[None, :]
+        if P.liu_plan is not None:
+            arrs[f"liu_{i}"] = P.liu_plan.arrays()
+    return arrs
+
+
 def build_plans(cc: CompiledCircuit) -> List[Optional[LayerPlans]]:
     src = cc.source
     plans: List[Optional[LayerPlans]] = [None] * cc.depth
@@ -274,7 +296,8 @@ def prove_layer(cc: CompiledCircuit, plans, i: int, values, r_cur,
                       liu_polys=liu_polys, liu_claim=liu_claim)
 
 
-def prove(cc: CompiledCircuit, plans, values, ch: Challenges) -> Proof:
+def prove(cc: CompiledCircuit, plans, values, ch: Challenges,
+          arrs=None) -> Proof:
     """Full GKR proof (traceable; used fused under one jit or staged via
     make_prover).  All sumchecks of the same table size fuse into ONE
     batched scan — layers are independent once the (message-independent)
@@ -293,10 +316,12 @@ def prove(cc: CompiledCircuit, plans, values, ch: Challenges) -> Proof:
             if L.dad_sizes[li] > 0:
                 p2_groups.setdefault(L.dad_bls[li], []).append((i, li))
 
-    vres, p1_stacked, liu_stacked = _prove_inits(cc, plans, values, ch)
+    if arrs is None:
+        arrs = circuit_arrays(cc, plans)
+    vres, p1_stacked, liu_stacked = _prove_inits(cc, plans, values, ch, arrs)
     p1_res = _apply_grouped(p1_stacked, p1_groups)
     claims = {i: p1_res[i][1] for i in p1_res}
-    p2_stacked = _prove_p2_inits(cc, plans, values, ch, claims)
+    p2_stacked = _prove_p2_inits(cc, plans, values, ch, claims, arrs)
     p2_scan = _apply_grouped(p2_stacked, p2_groups, bounds=True)
     p2_out = _prove_p2_combine(cc, ch, p2_scan)
     liu_res = _apply_grouped(liu_stacked, p1_groups)
@@ -456,7 +481,10 @@ def make_prover(cc: CompiledCircuit, plans, staged: bool = True):
     the batched scan executables are shared across shapes and circuits.
     staged=False: the original single-jit fusion."""
     if not staged:
-        return jax.jit(lambda values, ch: prove(cc, plans, values, ch))
+        arrs0 = circuit_arrays(cc, plans)
+        f = jax.jit(lambda values, ch, arrs: prove(cc, plans, values, ch,
+                                                   arrs))
+        return lambda values, ch: f(values, ch, arrs0)
 
     # static group plans: which layers/tables fold together per size
     p1_groups = {}
@@ -471,17 +499,19 @@ def make_prover(cc: CompiledCircuit, plans, staged: bool = True):
             if L.dad_sizes[li] > 0:
                 p2_groups.setdefault(L.dad_bls[li], []).append((i, li))
 
-    inits_fn = jax.jit(lambda values, ch: _prove_inits(cc, plans, values, ch))
+    arrs = circuit_arrays(cc, plans)
+    inits_fn = jax.jit(
+        lambda values, ch, arrs: _prove_inits(cc, plans, values, ch, arrs))
     p2init_fn = jax.jit(
-        lambda values, ch, claims: _prove_p2_inits(cc, plans, values, ch,
-                                                   claims))
+        lambda values, ch, claims, arrs: _prove_p2_inits(
+            cc, plans, values, ch, claims, arrs))
     combine_fn = jax.jit(lambda ch, scans: _prove_p2_combine(cc, ch, scans))
 
     def run(values, ch):
-        vres, p1_stacked, liu_stacked = inits_fn(values, ch)
+        vres, p1_stacked, liu_stacked = inits_fn(values, ch, arrs)
         p1_res = _run_grouped(p1_stacked, p1_groups)
         claims = {i: p1_res[i][1] for i in p1_res}
-        p2_stacked = p2init_fn(values, ch, claims)
+        p2_stacked = p2init_fn(values, ch, claims, arrs)
         p2_scan = _run_grouped(p2_stacked, p2_groups, bounds=True)
         p2_out = combine_fn(ch, p2_scan)
         liu_res = _run_grouped(liu_stacked, p1_groups)
@@ -522,7 +552,7 @@ def _run_grouped(stacked, groups, bounds=False):
     return out
 
 
-def _prove_inits(cc, plans, values, ch):
+def _prove_inits(cc, plans, values, ch, arrs):
     """Stage 1: vres + phase-1 and Liu table inits for every layer."""
     depth = cc.depth
     one = gf.ones(())
@@ -539,13 +569,15 @@ def _prove_inits(cc, plans, values, ch):
         bg_full = beta_table(r_cur, L.bit_length, one)
         bg_full = _scale_beta_asserts(cc, i, bg_full, chl.assert_r)
         bg = bg_full[:, :L.size]
-        y = values[:, L.y_idx]
-        A, B, C, D = L.coeff[0], L.coeff[1], L.coeff[2], L.coeff[3]
+        y = values[:, arrs[f"y{i}"]]
+        co = arrs[f"co{i}"]
+        A, B, C, D = co[0], co[1], co[2], co[3]
         add_c = gf.mul(bg, gf.add(gf.mul(B, y), D))
         mult_c = gf.mul(bg, gf.add(A, gf.mul(C, y)))
         p1_jobs.setdefault(bl_prev, []).append(
-            (_values_block(cc, values, i - 1), P.p1.apply(add_c),
-             P.p1.apply(mult_c), chl.r_u[:, :bl_prev]))
+            (_values_block(cc, values, i - 1),
+             P.p1.apply(add_c, arrs[f"p1_{i}"]),
+             P.p1.apply(mult_c, arrs[f"p1_{i}"]), chl.r_u[:, :bl_prev]))
         sig = chl.sig
         bsig = beta_table(chl.r_u[:, :bl_prev], bl_prev, sig[:, 0])
         pre_size = cc.layers[i - 1].size
@@ -559,7 +591,8 @@ def _prove_inits(cc, plans, values, ch):
                                 sig[:, j - i + 1])
                 parts.append(bt[:, :ds])
             multL = gf.add(multL,
-                           P.liu_plan.apply(jnp.concatenate(parts, axis=1)))
+                           P.liu_plan.apply(jnp.concatenate(parts, axis=1),
+                                            arrs[f"liu_{i}"]))
         liu_jobs.setdefault(bl_prev, []).append(
             (_values_block(cc, values, i - 1), jnp.zeros_like(multL),
              multL, chl.r_liu[:, :bl_prev]))
@@ -572,7 +605,7 @@ def _stack_jobs(jobs):
             for bl, group in jobs.items()}
 
 
-def _prove_p2_inits(cc, plans, values, ch, claims):
+def _prove_p2_inits(cc, plans, values, ch, claims, arrs):
     """Stage 2: phase-2 scatter inits (needs phase-1 claims)."""
     one = gf.ones(())
     p2_jobs = {}
@@ -589,15 +622,16 @@ def _prove_p2_inits(cc, plans, values, ch, claims):
         bg_full = beta_table(r_cur, L.bit_length, one)
         bg_full = _scale_beta_asserts(cc, i, bg_full, chl.assert_r)
         bg = bg_full[:, :L.size]
-        A, B, C, D = L.coeff[0], L.coeff[1], L.coeff[2], L.coeff[3]
+        co = arrs[f"co{i}"]
+        A, B, C, D = co[0], co[1], co[2], co[3]
         beta_u = beta_table(chl.r_u[:, :bl_prev], bl_prev, one)
-        tmp_g = gf.mul(bg, beta_u[:, L.x_idx])
+        tmp_g = gf.mul(bg, beta_u[:, arrs[f"x{i}"]])
         cu = claim_u[:, None]
-        addV = P.p2.apply(gf.mul(tmp_g, gf.add(gf.mul(A, cu), D)))
-        multV = P.p2.apply(gf.mul(tmp_g, gf.add(B, gf.mul(C, cu))))
-        dg = L.dad_gather_idx
-        vdad = jnp.where(jnp.asarray(np.asarray(dg) >= 0)[None, :],
-                         values[:, jnp.clip(dg, 0)], 0)
+        addV = P.p2.apply(gf.mul(tmp_g, gf.add(gf.mul(A, cu), D)),
+                          arrs[f"p2_{i}"])
+        multV = P.p2.apply(gf.mul(tmp_g, gf.add(B, gf.mul(C, cu))),
+                           arrs[f"p2_{i}"])
+        vdad = jnp.where(arrs[f"dgm{i}"], values[:, arrs[f"dg{i}"]], 0)
         for li in range(i):
             if L.dad_sizes[li] == 0:
                 continue
@@ -698,5 +732,7 @@ def make_verifier(cc: CompiledCircuit, staged: bool = True):
 
 
 def make_evaluator(cc: CompiledCircuit):
-    from ..circuits.compile import evaluate as _ev
-    return jax.jit(lambda inputs: _ev(cc, inputs))
+    from ..circuits.compile import evaluate as _ev, eval_arrays
+    arrs = eval_arrays(cc)
+    f = jax.jit(lambda inputs, arrs: _ev(cc, inputs, arrs))
+    return lambda inputs: f(inputs, arrs)

@@ -76,11 +76,25 @@ class ScatterPlan:
         return ScatterPlan(perm=perm, starts=starts.astype(np.int32),
                            ends=ends.astype(np.int32), out_size=out_size)
 
-    def apply(self, values):
-        """values: (2, N) contributions -> (2, out_size) field segment sums."""
-        s = prefix_sum(values[:, self.perm])
+    def apply(self, values, arrs=None):
+        """values: (2, N) contributions -> (2, out_size) field segment sums.
+
+        arrs: optional (perm, starts, ends) device arrays passed as jit
+        ARGUMENTS — indexing with the numpy members bakes them into the
+        graph as multi-MB dense constants, which bloats MLIR modules enough
+        to OOM the TPU compile helper; argument-passing keeps modules
+        small."""
+        if arrs is not None:
+            perm, starts, ends = arrs
+        else:
+            perm, starts, ends = self.perm, self.starts, self.ends
+        s = prefix_sum(values[:, perm])
         s0 = jnp.concatenate([jnp.zeros((2, 1), jnp.uint64), s], axis=1)
-        return gf.sub(s0[:, self.ends], s0[:, self.starts])
+        return gf.sub(s0[:, ends], s0[:, starts])
+
+    def arrays(self):
+        return (jnp.asarray(self.perm), jnp.asarray(self.starts),
+                jnp.asarray(self.ends))
 
 
 # ---------------------------------------------------------------------------
