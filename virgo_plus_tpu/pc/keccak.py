@@ -75,8 +75,20 @@ def _round(a, rc):
     return chi, None
 
 
+import os
+
+# Unrolled rounds trade 24 scan-iteration overheads for straight-line code:
+# much faster on TPU (dispatch/iteration overhead dominates the tiny VPU
+# work) but expensive for the CPU XLA scheduler, so it is opt-in.
+UNROLL = os.environ.get("VPT_KECCAK_UNROLL", "0") == "1"
+
+
 def keccak_f(state):
     """state: (25, N) uint64 -> (25, N)."""
+    if UNROLL:
+        for rnd in range(24):
+            state, _ = _round(state, jnp.uint64(_RC[rnd]))
+        return state
     out, _ = jax.lax.scan(_round, state, jnp.asarray(_RC))
     return out
 
