@@ -502,19 +502,22 @@ def make_prover(cc: CompiledCircuit, plans, staged: bool = True):
     arrs = circuit_arrays(cc, plans)
     inits_fn = jax.jit(
         lambda values, ch, arrs: _prove_inits(cc, plans, values, ch, arrs))
-    p2init_fn = jax.jit(
-        lambda values, ch, claims, arrs: _prove_p2_inits(
-            cc, plans, values, ch, claims, arrs))
-    combine_fn = jax.jit(lambda ch, scans: _prove_p2_combine(cc, ch, scans))
 
-    def run(values, ch):
-        vres, p1_stacked, liu_stacked = inits_fn(values, ch, arrs)
-        p1_res = _run_grouped(p1_stacked, p1_groups)
-        claims = {i: p1_res[i][1] for i in p1_res}
-        p2_stacked = p2init_fn(values, ch, claims, arrs)
-        p2_scan = _run_grouped(p2_stacked, p2_groups, bounds=True)
-        p2_out = combine_fn(ch, p2_scan)
-        liu_res = _run_grouped(liu_stacked, p1_groups)
+    def _p2init(values, ch, p1_raw, arrs):
+        claims = {}
+        for bl, group in p1_groups.items():
+            _, (vb, _a, _m) = p1_raw[bl]
+            for kk, tag in enumerate(group):
+                claims[tag] = vb[:, kk]
+        return _prove_p2_inits(cc, plans, values, ch, claims, arrs)
+
+    p2init_fn = jax.jit(_p2init)
+
+    def _assemble(vres, ch, p1_raw, p2_raw, liu_raw):
+        p1_res = _unstack(p1_raw, p1_groups)
+        liu_res = _unstack(liu_raw, p1_groups)
+        p2_scan = _unstack(p2_raw, p2_groups, bounds=True)
+        p2_out = _prove_p2_combine(cc, ch, p2_scan)
         depth = cc.depth
         layer_proofs = [None] * depth
         for i in range(depth - 1, 0, -1):
@@ -524,6 +527,17 @@ def make_prover(cc: CompiledCircuit, plans, staged: bool = True):
                 p2_polys=p2_polys, claims_v=claims_v,
                 liu_polys=liu_res[i][0], liu_claim=liu_res[i][1])
         return Proof(vres=vres, layers=layer_proofs)
+
+    assemble_fn = jax.jit(_assemble)
+    scan_fn = _batched_scan_jit()
+
+    def run(values, ch):
+        vres, p1_stacked, liu_stacked = inits_fn(values, ch, arrs)
+        p1_raw = {bl: scan_fn(*a) for bl, a in sorted(p1_stacked.items())}
+        p2_stacked = p2init_fn(values, ch, p1_raw, arrs)
+        p2_raw = {bl: scan_fn(*a) for bl, a in sorted(p2_stacked.items())}
+        liu_raw = {bl: scan_fn(*a) for bl, a in sorted(liu_stacked.items())}
+        return assemble_fn(vres, ch, p1_raw, p2_raw, liu_raw)
 
     return run
 
@@ -538,12 +552,11 @@ def _batched_scan_jit():
     return _SCAN_JIT
 
 
-def _run_grouped(stacked, groups, bounds=False):
-    """stacked: {bl: (vs, as, ms, rs)} (already batched inside a jit stage);
+def _unstack(raw, groups, bounds=False):
+    """raw: {bl: (polys, (vb, ab, mb))} batched scan outputs;
     groups: {bl: [tag, ...]} static tag order.  Returns {tag: result}."""
     out = {}
-    for bl, arrs in sorted(stacked.items()):
-        polys, (vb, ab, mb) = _batched_scan_jit()(*arrs)
+    for bl, (polys, (vb, ab, mb)) in sorted(raw.items()):
         for kk, tag in enumerate(groups[bl]):
             if bounds:
                 out[tag] = (polys[:, kk], (vb[:, kk], ab[:, kk], mb[:, kk]))
