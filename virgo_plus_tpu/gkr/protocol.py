@@ -27,6 +27,7 @@ from ..field import gf
 from ..utils.glibc_rand import GlibcRandom
 from .beta import beta_table
 from .sumcheck import (ScatterPlan, scan_sumcheck, scan_sumcheck_batched,
+                       scan_sumcheck_batched_br,
                        eval_quad, quad_at_0_plus_1, mle_fold, tree_sum)
 from ..circuits.compile import CompiledCircuit
 
@@ -340,7 +341,7 @@ def _apply_grouped(stacked, groups, bounds=False):
     """Trace-inline version of _run_grouped (no per-group jit)."""
     out = {}
     for bl, arrs in sorted(stacked.items()):
-        polys, (vb, ab, mb) = scan_sumcheck_batched(*arrs)
+        polys, (vb, ab, mb) = scan_sumcheck_batched_br(*arrs)
         for kk, tag in enumerate(groups[bl]):
             if bounds:
                 out[tag] = (polys[:, kk], (vb[:, kk], ab[:, kk], mb[:, kk]))
@@ -548,7 +549,7 @@ _SCAN_JIT = jax.jit(scan_sumcheck_batched) if False else None
 def _batched_scan_jit():
     global _SCAN_JIT
     if _SCAN_JIT is None:
-        _SCAN_JIT = jax.jit(scan_sumcheck_batched)
+        _SCAN_JIT = jax.jit(scan_sumcheck_batched_br)
     return _SCAN_JIT
 
 
