@@ -187,116 +187,6 @@ def _scale_beta_asserts(cc, i, bg, assert_r):
     return jnp.where(jnp.asarray(mask)[None, :], scaled, bg)
 
 
-def prove_layer(cc: CompiledCircuit, plans, i: int, values, r_cur,
-                ch: LayerChallenges, ch_all: Challenges):
-    """Prove one layer (phases 1, 2, Liu). r_cur: (4, bl_i) claim point."""
-    L = cc.layers[i]
-    P = plans[i]
-    bl_prev = cc.layers[i - 1].bit_length
-    one = gf.ones(())
-
-    # ---- phase 1 init (prover.cpp:189-280) ----
-    bg_full = beta_table(r_cur, L.bit_length, one)
-    bg_full = _scale_beta_asserts(cc, i, bg_full, ch.assert_r)
-    bg = bg_full[:, :L.size]
-    y = values[:, L.y_idx]
-    A, B, C, D = L.coeff[0], L.coeff[1], L.coeff[2], L.coeff[3]
-    add_c = gf.mul(bg, gf.add(gf.mul(B, y), D))
-    mult_c = gf.mul(bg, gf.add(A, gf.mul(C, y)))
-    tmp_add = P.p1.apply(add_c)
-    tmp_mult = P.p1.apply(mult_c)
-    tmp_v = _values_block(cc, values, i - 1)
-
-    p1_polys, (claim_u, _, _) = scan_sumcheck(
-        tmp_v, tmp_add, tmp_mult, ch.r_u[:, :bl_prev])
-
-    # ---- phase 2 (prover.cpp:282-367) ----
-    p2_polys = None
-    claims_v = None
-    if L.max_dad_bit_length >= 0:
-        mdb = L.max_dad_bit_length
-        beta_u = beta_table(ch.r_u[:, :bl_prev], bl_prev, one)
-        tmp_g = gf.mul(bg, beta_u[:, L.x_idx])
-        cu = claim_u[:, None]
-        addv_c = gf.mul(tmp_g, gf.add(gf.mul(A, cu), D))
-        multv_c = gf.mul(tmp_g, gf.add(B, gf.mul(C, cu)))
-        addV = P.p2.apply(addv_c)
-        multV = P.p2.apply(multv_c)
-        dg = L.dad_gather_idx
-        vdad = jnp.where(jnp.asarray(np.asarray(dg) >= 0)[None, :],
-                         values[:, jnp.clip(dg, 0)], 0)
-
-        # per-source-table sumchecks
-        table_polys = {}     # l -> (bl_l, 4, 3)
-        bounds = {}          # l -> (v, a, m) bound scalars
-        for li in range(i):
-            ds = L.dad_sizes[li]
-            if ds == 0:
-                continue
-            bl_l = L.dad_bls[li]
-            off = L.dad_offsets[li]
-            sl = slice(off, off + (1 << bl_l))
-            polys_l, b_l = scan_sumcheck(vdad[:, sl], addV[:, sl],
-                                         multV[:, sl], ch.r_v[:, :bl_l])
-            table_polys[li] = polys_l
-            bounds[li] = b_l
-
-        # combine rounds with the add_term chain (prover.cpp:436-492)
-        zero = jnp.zeros((2,), jnp.uint64)
-        a_term = zero
-        out_polys = []
-        for j in range(mdb):
-            if j > 0:
-                a_term = gf.mul(a_term, gf.sub(one, ch.r_v[:, j - 1]))
-            pj = jnp.zeros((2, 3), jnp.uint64)
-            for li, polys_l in table_polys.items():
-                bl_l = L.dad_bls[li]
-                if j < bl_l:
-                    pj = gf.add(pj, polys_l[j])
-                elif j == bl_l:
-                    vb, ab, mb = bounds[li]
-                    a_term = gf.add(a_term, gf.add(gf.mul(vb, mb), ab))
-            # tables with bl_l == 0 enter at round 0 (handled above since
-            # j == bl_l == 0)
-            pj = gf.add(pj, jnp.stack(
-                [zero, gf.neg(a_term), a_term], axis=1))
-            out_polys.append(pj)
-        p2_polys = (jnp.stack(out_polys) if out_polys
-                    else jnp.zeros((0, 2, 3), jnp.uint64))
-
-        # claims per source layer (prover.cpp:504-516): bound V for real
-        # tables, zero for empty ones
-        cl = []
-        for li in range(i):
-            if L.dad_sizes[li] > 0:
-                cl.append(bounds[li][0])
-            else:
-                cl.append(zero)
-        claims_v = jnp.stack(cl) if cl else jnp.zeros((0, 2), jnp.uint64)
-
-    # ---- Liu (prover.cpp:369-420) ----
-    sig = ch.sig
-    bsig = beta_table(ch.r_u[:, :bl_prev], bl_prev, sig[:, 0])
-    pre_size = cc.layers[i - 1].size
-    multL = jnp.pad(bsig[:, :pre_size],
-                    ((0, 0), (0, cc.layers[i - 1].padded - pre_size)))
-    if P.liu_plan is not None:
-        parts = []
-        for (j, ds, bl_jl, off) in P.liu_consumers:
-            ch_j = ch_all.layers[j]
-            bt = beta_table(ch_j.r_v[:, :bl_jl], bl_jl, sig[:, j - i + 1])
-            parts.append(bt[:, :ds])
-        contr = jnp.concatenate(parts, axis=1)
-        multL = gf.add(multL, P.liu_plan.apply(contr))
-    addL = jnp.zeros_like(multL)
-    liu_polys, (liu_claim, _, _) = scan_sumcheck(
-        tmp_v, addL, multL, ch.r_liu[:, :bl_prev])
-
-    return LayerProof(p1_polys=p1_polys, claim_u=claim_u,
-                      p2_polys=p2_polys, claims_v=claims_v,
-                      liu_polys=liu_polys, liu_claim=liu_claim)
-
-
 def prove(cc: CompiledCircuit, plans, values, ch: Challenges,
           arrs=None) -> Proof:
     """Full GKR proof (traceable; used fused under one jit or staged via
@@ -543,7 +433,7 @@ def make_prover(cc: CompiledCircuit, plans, staged: bool = True):
     return run
 
 
-_SCAN_JIT = jax.jit(scan_sumcheck_batched) if False else None
+_SCAN_JIT = None
 
 
 def _batched_scan_jit():
