@@ -258,15 +258,22 @@ def _bitrev_vals(bl: int):
     return _bitrev_perm(bl)  # rev is an involution's own inverse table
 
 
+BR_MIN_BL = 10
+
+
 def scan_sumcheck_batched_br(v, a, m, rs):
     """Bit-reversed-layout batched sumcheck; same signature and bit-exact
     same outputs as scan_sumcheck_batched.
 
-    Rounds unroll with genuinely shrinking shapes (the body is ~25 ops, so
-    bl-round graphs stay tiny): every round is two contiguous half-splits,
-    a fused fold, and three half-size reductions — no strided access, no
-    masks, half the arithmetic of the masked-prefix scan."""
+    Rounds unroll with genuinely shrinking shapes: every round is two
+    contiguous half-splits, a fused fold, and three half-size reductions —
+    no strided access, no masks, half the arithmetic of the masked-prefix
+    scan.  Small tables (bl < BR_MIN_BL) delegate to the masked scan: the
+    strided access is cheap there, and unrolling sub-tile shapes bloats
+    Mosaic layout work."""
     bl = rs.shape[2]
+    if bl < BR_MIN_BL:
+        return scan_sumcheck_batched(v, a, m, rs)
     k = v.shape[1]
     n = v.shape[2]
     assert n == 1 << bl, (n, bl)
