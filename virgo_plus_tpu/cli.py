@@ -25,6 +25,13 @@ def main(argv=None):
     pp.add_argument("circuit")
     pp.add_argument("-o", "--out", default="proof.npz")
     pp.add_argument("--seed", type=int, default=3396)
+    pp.add_argument("--witness", default=None,
+                    help=".npy witness file: (n,) reals or (2, n) "
+                         "real/imag uint64 rows (the reference only "
+                         "supports random witnesses)")
+    pp.add_argument("--fs", action="store_true",
+                    help="non-interactive Fiat-Shamir transcript instead "
+                         "of the reference's glibc stream")
     pp.add_argument("--no-bug-compat", action="store_true",
                     help="faithful Not/Copy semantics instead of the "
                          "reference's fallthrough behaviour")
@@ -33,6 +40,7 @@ def main(argv=None):
     vp.add_argument("circuit")
     vp.add_argument("proof")
     vp.add_argument("--seed", type=int, default=3396)
+    vp.add_argument("--fs", action="store_true")
     vp.add_argument("--no-bug-compat", action="store_true")
 
     rp = sub.add_parser("run", help="prove + verify (reference-style output)")
@@ -48,7 +56,17 @@ def main(argv=None):
                                   bug_compat=not args.no_bug_compat)
 
     if args.cmd == "prove":
-        full, info = driver.prove(circuit, seed=args.seed)
+        witness = None
+        if args.witness:
+            import numpy as np
+            w = np.load(args.witness)
+            witness = w if w.ndim == 2 else np.stack(
+                [w, np.zeros_like(w)])
+        if args.fs:
+            full, info = driver.prove_fs(circuit, witness=witness)
+        else:
+            full, info = driver.prove(circuit, seed=args.seed,
+                                      witness=witness)
         proof_io.save(args.out, full)
         print(f"proof written to {args.out}")
         print(f"Prove Time {info['prove_time']:.6f}")
@@ -58,7 +76,10 @@ def main(argv=None):
 
     if args.cmd == "verify":
         full = proof_io.load(args.proof)
-        rep = driver.verify(circuit, full, seed=args.seed)
+        if args.fs:
+            rep = driver.verify_fs(circuit, full)
+        else:
+            rep = driver.verify(circuit, full, seed=args.seed)
         print("Verification pass" if rep.ok else "Verification fail",
               file=sys.stderr)
         print(f"Input size {rep.input_size}")
