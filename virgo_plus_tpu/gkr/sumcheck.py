@@ -258,7 +258,12 @@ def _bitrev_vals(bl: int):
     return _bitrev_perm(bl)  # rev is an involution's own inverse table
 
 
-BR_MIN_BL = 10
+import os as _os
+
+# Threshold below which the masked-scan fold is used instead of the
+# bit-reversed unrolled fold (env-tunable; BR_MIN_BL=99 reproduces the
+# pure masked-scan prover bit-for-bit, matching its compile cache).
+BR_MIN_BL = int(_os.environ.get("VPT_BR_MIN_BL", "10"))
 
 
 def scan_sumcheck_batched_br(v, a, m, rs):
