@@ -29,11 +29,17 @@ U16 = np.uint32(0xFFFF)
 
 
 def from_u64_planes(x):
-    """(2, ...) u64 -> (4, ...) u32 [rl, rh, il, ih] via bitcast."""
-    v = lax.bitcast_convert_type(x, jnp.uint32)  # (2, ..., 2) LE
-    return jnp.concatenate([jnp.moveaxis(v[0:1], -1, 0).reshape((2,) + x.shape[1:]),
-                            jnp.moveaxis(v[1:2], -1, 0).reshape((2,) + x.shape[1:])],
-                           axis=0)
+    """(2, ...) u64 -> (4, ...) u32 [rl, rh, il, ih].
+
+    Mask/shift, not bitcast: lax.bitcast_convert_type to a trailing (..., 2)
+    axis fuses catastrophically with upstream gathers on TPU (measured
+    ~500x: 8ms vs 15us for a (2,4,2^16) convert+permute), while the word
+    extraction below stays a clean elementwise pass."""
+    lo = jnp.uint64(0xFFFFFFFF)
+    return jnp.stack([(x[0] & lo).astype(jnp.uint32),
+                      (x[0] >> np.uint64(32)).astype(jnp.uint32),
+                      (x[1] & lo).astype(jnp.uint32),
+                      (x[1] >> np.uint64(32)).astype(jnp.uint32)])
 
 
 def to_u64_planes(x4):

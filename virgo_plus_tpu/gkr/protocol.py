@@ -27,7 +27,7 @@ from ..field import gf
 from ..utils.glibc_rand import GlibcRandom
 from .beta import beta_table
 from .sumcheck import (ScatterPlan, scan_sumcheck, scan_sumcheck_batched,
-                       scan_sumcheck_batched_br,
+                       scan_sumcheck_batched_br, scan_sumcheck_auto,
                        eval_quad, quad_at_0_plus_1, mle_fold, tree_sum)
 from ..circuits.compile import CompiledCircuit
 
@@ -231,6 +231,8 @@ def _apply_grouped(stacked, groups, bounds=False):
     """Trace-inline version of _run_grouped (no per-group jit)."""
     out = {}
     for bl, arrs in sorted(stacked.items()):
+        # fused path: keep the XLA fold (inside one outer jit the Pallas
+        # path's bitrev perm would become a slow constant gather)
         polys, (vb, ab, mb) = scan_sumcheck_batched_br(*arrs)
         for kk, tag in enumerate(groups[bl]):
             if bounds:
@@ -439,7 +441,15 @@ _SCAN_JIT = None
 def _batched_scan_jit():
     global _SCAN_JIT
     if _SCAN_JIT is None:
-        _SCAN_JIT = jax.jit(scan_sumcheck_batched_br)
+        from .sumcheck import _bitrev_perm
+        inner = jax.jit(scan_sumcheck_auto)
+
+        def run(v, a, m, rs):
+            # bit-reversal permutation as a jit ARGUMENT (constant gathers
+            # are ~130x slower on TPU)
+            return inner(v, a, m, rs, jnp.asarray(_bitrev_perm(rs.shape[2])))
+
+        _SCAN_JIT = run
     return _SCAN_JIT
 
 

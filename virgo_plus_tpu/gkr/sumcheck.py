@@ -316,3 +316,39 @@ def scan_sumcheck_batched_br(v, a, m, rs):
         cm = gf.add(m0, gf.mul(dm, rr))
     out = jnp.moveaxis(jnp.stack(polys, axis=0), 1, 2)  # (bl, K, 2, 3)
     return out, (cv[:, :, 0], ca[:, :, 0], cm[:, :, 0])
+
+
+# ---------------------------------------------------------------------------
+# Kernel selection
+# ---------------------------------------------------------------------------
+# The Pallas fused fold (pallas_kernels/sumcheck_fold.py) runs the whole
+# phase VMEM-resident and is the production TPU path; the XLA paths remain
+# for CPU, for tiny tables, and as the bit-exact cross-check.
+
+PALLAS_FOLD = _os.environ.get("VPT_PALLAS_FOLD", "1") != "0"
+PALLAS_MIN_BL = int(_os.environ.get("VPT_PALLAS_MIN_BL", "7"))
+PALLAS_MAX_BL = int(_os.environ.get("VPT_PALLAS_MAX_BL", "17"))
+PALLAS_INTERPRET = _os.environ.get("VPT_PALLAS_INTERPRET", "0") == "1"
+
+
+def _pallas_ok(bl: int) -> bool:
+    if not PALLAS_FOLD or not (PALLAS_MIN_BL <= bl <= PALLAS_MAX_BL):
+        return False
+    if PALLAS_INTERPRET:
+        return True
+    import jax
+    return jax.default_backend() not in ("cpu",)
+
+
+def scan_sumcheck_auto(v, a, m, rs, perm=None):
+    """Backend-dispatching batched sumcheck fold (bit-exact either way).
+
+    perm: bit-reversal permutation for the Pallas path; MUST be passed as a
+    jit argument by jitted callers (constant gathers are ~130x slower on
+    TPU), ignored by the XLA fallback."""
+    bl = rs.shape[2]
+    if _pallas_ok(bl):
+        from ..pallas_kernels.sumcheck_fold import scan_sumcheck_batched_pallas
+        return scan_sumcheck_batched_pallas(v, a, m, rs, perm=perm,
+                                            interpret=PALLAS_INTERPRET)
+    return scan_sumcheck_batched_br(v, a, m, rs)
