@@ -15,12 +15,6 @@ import time
 
 import numpy as np
 
-# Pin the fold-kernel selection for benchmark reproducibility: the
-# masked-scan fused prover is the configuration with a warmed TPU compile
-# cache (the bit-reversed fold is faster per-round but its unrolled fused
-# module exceeds the remote compiler's practical limits this round; see
-# NOTES_r1.md).
-os.environ.setdefault("VPT_BR_MIN_BL", "99")
 
 BASELINE_PROVE_S = 0.414
 
@@ -50,7 +44,10 @@ def main():
     n_folds = bl0 - virgo_pc.LOG_SLICE
 
     evaluator = protocol.make_evaluator(cc)
-    prover = protocol.make_prover(cc, plans, staged=False)
+    # staged prover: per-stage jits + the Pallas fused fold kernels
+    # (compiles in minutes and runs ~5x faster than the old fused-jit
+    # masked-scan path)
+    prover = protocol.make_prover(cc, plans)
     commit_fn = jax.jit(lambda v: virgo_pc.commit_private(v, bl0))
     commit_pub_fn = jax.jit(
         lambda l_eval, fp: virgo_pc.commit_public(

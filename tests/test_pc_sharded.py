@@ -24,15 +24,45 @@ def test_sharded_commit_root_matches():
     assert (np.asarray(root) == want_root).all()
 
     # strided codeword re-interleaves to the exact single-chip codeword
-    cw = np.asarray(cw_strided)          # (2, 65, ss) with pos = j*S + q
-    ss = cw.shape[2]
-    S = 8
-    full = np.asarray(oracle.codeword)
-    # shard-major layout: global position p = j*S + q stored at
-    # [q * (ss//S) + j] after shard_map concatenation
-    re = np.zeros_like(cw)
-    L = ss // S
-    for q in range(S):
-        for j in range(L):
-            re[:, :, j * S + q] = cw[:, :, q * L + j]
-    assert (re == full).all()
+    from virgo_plus_tpu.parallel.pc_sharded import unstride
+    assert (unstride(cw_strided, 8) == np.asarray(oracle.codeword)).all()
+
+
+def test_sharded_pc_prove_matches_single_chip():
+    """Full sharded PC pipeline (private + public commit + every LDT fold)
+    == the single-chip pipeline bit for bit on the 8-device CPU mesh."""
+    from virgo_plus_tpu.parallel.pc_sharded import sharded_pc_prove, unstride
+
+    bl = 9
+    rng = np.random.default_rng(5)
+
+    def rnd(n):
+        return gf.from_u64(rng.integers(0, gf.MOD, n, dtype=np.uint64),
+                           rng.integers(0, gf.MOD, n, dtype=np.uint64))
+
+    values = rnd(1 << bl)
+    q_values = rnd(1 << bl)
+    n_folds = bl - virgo_pc.LOG_SLICE
+    randomness = [rnd(1).reshape(2) for _ in range(n_folds)]
+
+    # single-chip reference
+    l_oracle, _ = jax.jit(lambda v: virgo_pc.commit_private(v, bl))(values)
+    h_oracle, q_eval, q_coefs, all_sum, vo = jax.jit(
+        lambda l, q: virgo_pc.commit_public(l, q, bl))(
+            l_oracle.codeword, q_values)
+    ldt = virgo_pc.commit_phase(vo, bl, randomness)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("fp",))
+    fn = sharded_pc_prove(mesh, "fp", bl)
+    out = fn(values, q_values, randomness)
+
+    assert (np.asarray(out["root_l"]) == np.asarray(l_oracle.tree[:, 1])).all()
+    assert (np.asarray(out["root_h"]) == np.asarray(h_oracle.tree[:, 1])).all()
+    assert (np.asarray(out["all_sum"]) == np.asarray(all_sum)).all()
+    assert (unstride(out["h_codeword"], 8)
+            == np.asarray(h_oracle.codeword)).all()
+    for k, o in enumerate(ldt.oracles):
+        assert (np.asarray(out["level_roots"][k])
+                == np.asarray(o.tree[:, 1])).all(), k
+        assert (unstride(out["level_codewords"][k], 8)
+                == np.asarray(o.codeword)).all(), k

@@ -83,49 +83,7 @@ def sharded_commit_private(mesh: Mesh, axis: str, bl: int):
                          in_axes=1, out_axes=1)(c2)         # (2, 64, L)
         mask = jnp.zeros((2, 1, L), jnp.uint64)
         cw = jnp.concatenate([local, mask], axis=1)         # (2, 65, L)
-
-        # leaf chains: local pairs (j, j + N/2) -> (4, L/2) digests
-        half = L // 2
-        x = cw[:, :, :half]
-        y = cw[:, :, half:]
-        xs = jnp.stack([x[0], x[1], y[0], y[1]], axis=1)    # (65, 4, half)
-
-        def chain(state, slc):
-            return sha3_256_x64(jnp.concatenate([slc, state], axis=0)), None
-
-        leaves, _ = jax.lax.scan(chain, jnp.zeros((4, half), jnp.uint64), xs)
-        # leaves[:, t] is global leaf j = t*S + q.
-
-        # re-block: global leaf j -> shard j // leaf_per_shard.  Build the
-        # exchange with one all_to_all over a (S, half/S ...) reshuffle:
-        # shard q holds leaves {t*S + q}; destination shard d needs leaves
-        # [d*lps, (d+1)*lps).  t*S + q in that range <=> t in
-        # [d*lps/S, ...): contiguous t-blocks of size lps/S map to shard d.
-        blk = leaf_per_shard // S
-        send = leaves.reshape(4, S, blk)                    # t = d*blk + r
-        recv = jax.lax.all_to_all(send, axis, split_axis=1, concat_axis=1,
-                                  tiled=False)
-        # recv: (4, S, blk) where recv[:, src, r] = leaf (d*blk + r)*S + src
-        # global index within this shard's block: (blk*r? ) careful below.
-        # local leaf l = j - d*lps = (t*S + src) - d*lps with t = d*blk + r
-        #             = r*S + src  -> order by (r, src)
-        sub = jnp.transpose(recv, (0, 2, 1)).reshape(4, leaf_per_shard)
-
-        # local subtree reduction
-        cur_level = sub
-        sub_roots = []
-        for _ in range(sub_depth):
-            le = cur_level[:, 0::2]
-            ri = cur_level[:, 1::2]
-            cur_level = sha3_256_x64(jnp.concatenate([le, ri], axis=0))
-        my_root = cur_level[:, 0]
-        # gather the S subtree roots and finish the top levels replicated
-        roots = jnp.moveaxis(jax.lax.all_gather(my_root, axis), 0, 1)
-        lvl = roots
-        while lvl.shape[1] > 1:
-            lvl = sha3_256_x64(jnp.concatenate([lvl[:, 0::2], lvl[:, 1::2]],
-                                               axis=0))
-        return lvl[:, 0], cw
+        return _local_root(cw, axis, S), cw
 
     return run
 
@@ -138,3 +96,249 @@ def _powers_dev(base, n: int):
         out = jnp.concatenate([out, nxt], axis=1)
         cur = gf.mul(cur, cur)
     return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# Shared sharded-oracle construction (leaf chains local, Merkle
+# gather-reduce) + the rest of the PC pipeline: public commit and LDT folds.
+# ---------------------------------------------------------------------------
+
+def _coset_table(base_int, S: int):
+    """(2, S) powers base^q for q in [0, S) as a host constant."""
+    out = np.zeros((2, S), dtype=np.uint64)
+    cur = (1, 0)
+    for q in range(S):
+        out[0, q], out[1, q] = cur
+        cur = gf._py_mul(cur, base_int)
+    return jnp.asarray(out)
+
+
+def _local_root(cw, axis: str, S: int):
+    """Inside shard_map: (2, 65, L) local strided codeword -> replicated
+    (4,) Merkle root, bit-identical to the single-chip oracle.
+
+    Leaf j packs pairs (j, j + N/2) of all 65 slices; with the strided
+    layout both elements are local (j and j+N/2 share a residue mod S),
+    so chains cost zero communication.  One all_to_all re-blocks digests
+    to contiguous leaf ranges, each shard reduces its subtree, and the S
+    subtree roots finish replicated."""
+    L = cw.shape[2]
+    half = L // 2
+    x = cw[:, :, :half]
+    y = cw[:, :, half:]
+    xs = jnp.stack([x[0], x[1], y[0], y[1]], axis=1)        # (65, 4, half)
+
+    def chain(state, slc):
+        return sha3_256_x64(jnp.concatenate([slc, state], axis=0)), None
+
+    leaves, _ = jax.lax.scan(chain, jnp.zeros((4, half), jnp.uint64), xs)
+    # leaves[:, t] = global leaf t*S + q on shard q
+    n_leaf_local = half
+    if n_leaf_local >= S:
+        blk = n_leaf_local // S
+        send = leaves.reshape(4, S, blk)
+        recv = jax.lax.all_to_all(send, axis, split_axis=1, concat_axis=1,
+                                  tiled=False)
+        sub = jnp.transpose(recv, (0, 2, 1)).reshape(4, n_leaf_local)
+        cur = sub
+        while cur.shape[1] > 1:
+            cur = sha3_256_x64(jnp.concatenate([cur[:, 0::2], cur[:, 1::2]],
+                                               axis=0))
+        roots = jnp.moveaxis(jax.lax.all_gather(cur[:, 0], axis), 0, 1)
+    else:
+        # tiny level: gather all leaf digests and finish replicated
+        g = jnp.moveaxis(jax.lax.all_gather(leaves, axis), 0, 1)  # (4,S,hf)
+        # global leaf t*S + q sits at gathered [q, t] -> natural order
+        roots = jnp.transpose(g, (0, 2, 1)).reshape(4, S * n_leaf_local)
+    lvl = roots
+    while lvl.shape[1] > 1:
+        lvl = sha3_256_x64(jnp.concatenate([lvl[:, 0::2], lvl[:, 1::2]],
+                                           axis=0))
+    return lvl[:, 0]
+
+
+def sharded_commit_public(mesh: Mesh, axis: str, bl: int):
+    """poly_commit.h:126-349 sharded over `axis` with the strided layout.
+
+    Returns fn(l_local (2,65,L) strided codeword block, q_values (2,2^bl)
+    replicated) -> (root_h (4,), all_sum (2,65), vo_local (2,65,L),
+    h_local (2,65,L)) under shard_map; vo/h stay strided for the fold
+    phase.  Requires S <= 2^(RATE-1) so the l*q subsample (global stride
+    16) lands on shard 0 only."""
+    S = mesh.shape[axis]
+    assert S <= 1 << (RATE - 1), "subsample stride must cover the mesh"
+    lg_ss = bl + RATE - LOG_SLICE
+    ss = 1 << lg_ss
+    srec = 1 << (bl - LOG_SLICE)
+    L = ss // S
+    st = ss // (2 * srec)          # global subsample stride = 2^(RATE-1)
+    st_local = st // S
+    rou_small = gf.root_of_unity_int(bl - LOG_SLICE)
+    rou_2s = gf.root_of_unity_int(bl - LOG_SLICE + 1)
+    rou_ss_int = gf.root_of_unity_int(lg_ss)
+    inv_rou_int = gf.inv_int(rou_ss_int)
+    rou_local_int = gf.pow_int(rou_ss_int, S)
+    coset = _coset_table(rou_ss_int, S)
+    # xn(p) = rou^(srec*p); inv_x(p) = rou^(-p); p = t*S + q
+    xn_base = _coset_table(gf.pow_int(rou_ss_int, srec), S)
+    inv_base = _coset_table(inv_rou_int, S)
+    xn_step_int = gf.pow_int(rou_ss_int, srec * S)
+    inv_step_int = gf.pow_int(inv_rou_int, S)
+    srec_el = gf.full((1,), srec % gf.MOD)
+    one = gf.ones((1,))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, None, axis), P(None, None)),
+             out_specs=(P(None), P(None, None), P(None, None, axis),
+                        P(None, None, axis)),
+             check_vma=False)
+    def run(l_local, q_values):
+        q = jax.lax.axis_index(axis)
+        # q-side slice encode (replicated coefs, coset-twiddled local FFT)
+        sl = q_values.reshape(2, SLICES, srec)
+        q_coefs = jax.vmap(lambda v: ifft(v, rou_small),
+                           in_axes=1, out_axes=1)(sl)
+        tw = _powers_dev(coset[:, q], srec)
+        c2 = gf.mul(q_coefs, tw[:, None, :])
+        q_local = jax.vmap(lambda c: fft(c, L.bit_length() - 1,
+                                         rou_local_int),
+                           in_axes=1, out_axes=1)(c2)       # (2, 64, L)
+
+        # l*q on the 2*srec subgroup: global positions k*st, all on shard 0
+        lq_local = gf.mul(l_local[:, :SLICES, ::st_local],
+                          q_local[:, :, ::st_local])        # (2, 64, 2srec)
+        lq_sub = jax.lax.psum(
+            jnp.where(q == 0, lq_local, jnp.zeros_like(lq_local)), axis)
+        lq_coef = jax.vmap(lambda v: ifft(v, rou_2s),
+                           in_axes=1, out_axes=1)(lq_sub)
+        h_coef = lq_coef[:, :, srec:]
+        c0 = gf.add(lq_coef[:, :, 0], h_coef[:, :, 0])      # (2, 64)
+        all_sum = gf.mul(c0, srec_el)
+        all_sum = jnp.concatenate(
+            [all_sum, jnp.zeros((2, 1), jnp.uint64)], axis=1)
+
+        # h on the big domain: coset-twiddled local FFT of h_coef
+        tw_h = _powers_dev(coset[:, q], srec)
+        h2 = gf.mul(h_coef, tw_h[:, None, :])
+        h_local = jax.vmap(lambda c: fft(c, L.bit_length() - 1,
+                                         rou_local_int),
+                           in_axes=1, out_axes=1)(h2)       # (2, 64, L)
+
+        # virtual oracle at local positions p = t*S + q
+        xn = gf.mul(_powers_dev(gf.full((), *_int2(xn_step_int)), L),
+                    xn_base[:, q][:, None])                 # (2, L)
+        inv_x = gf.mul(_powers_dev(gf.full((), *_int2(inv_step_int)), L),
+                       inv_base[:, q][:, None])
+        lq_full = gf.mul(l_local[:, :SLICES], q_local)
+        g = gf.sub(lq_full,
+                   gf.mul(gf.sub(xn, one)[:, None, :], h_local))
+        vo = gf.mul(gf.mul(gf.sub(g, c0[:, :, None]), srec_el[:, :, None]),
+                    inv_x[:, None, :])
+        vo = jnp.concatenate([vo, jnp.zeros((2, 1, L), jnp.uint64)], axis=1)
+        h_full = jnp.concatenate(
+            [h_local, jnp.zeros((2, 1, L), jnp.uint64)], axis=1)
+
+        root_h = _local_root(h_full, axis, S)
+        return root_h, all_sum, vo, h_full
+
+    return run
+
+
+def _int2(pair):
+    return pair[0], pair[1]
+
+
+def sharded_fold_step(mesh: Mesh, axis: str, lg_n: int):
+    """One FRI fold (fri.cpp:315-334) on the strided layout — zero
+    communication: pair (i, i + N/2) shares its residue mod S, and the
+    output at local index t is the input's local pair (t, t + L/2)."""
+    S = mesh.shape[axis]
+    n = 1 << lg_n
+    L = n // S
+    assert L >= 2
+    inv_rou_int = gf.inv_int(gf.root_of_unity_int(lg_n))
+    inv_base = _coset_table(inv_rou_int, S)
+    inv_step_int = gf.pow_int(inv_rou_int, S)
+    inv2 = gf.inv_int((2, 0))
+    inv2_el = gf.full((1, 1), inv2[0], inv2[1])
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, None, axis), P(None)),
+             out_specs=P(None, None, axis), check_vma=False)
+    def run(cw_local, r):
+        q = jax.lax.axis_index(axis)
+        half = L // 2
+        # inv_mu at global positions t*S + q for t < half
+        inv_mu = gf.mul(_powers_dev(gf.full((), *_int2(inv_step_int)), half),
+                        inv_base[:, q][:, None])
+        a = cw_local[:, :, :half]
+        b = cw_local[:, :, half:]
+        s = gf.add(a, b)
+        d = gf.mul(gf.mul(gf.sub(a, b), inv_mu[:, None, :]),
+                   r[:, None, None])
+        return gf.mul(gf.add(s, d), inv2_el)
+
+    return run
+
+
+def sharded_oracle_root(mesh: Mesh, axis: str):
+    """fn(cw_local strided (2,65,L)) -> (4,) root (replicated)."""
+    S = mesh.shape[axis]
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(None, None, axis),),
+             out_specs=P(None), check_vma=False)
+    def run(cw_local):
+        return _local_root(cw_local, axis, S)
+
+    return run
+
+
+def unstride(cw_strided, S: int):
+    """(2, 65, ss) shard-major device output -> natural position order."""
+    cw = np.asarray(cw_strided)
+    ss = cw.shape[2]
+    L = ss // S
+    out = np.empty_like(cw)
+    blocks = cw.reshape(cw.shape[0], cw.shape[1], S, L)
+    for q in range(S):
+        out[:, :, q::S] = blocks[:, :, q, :]
+    return out
+
+
+def sharded_pc_prove(mesh: Mesh, axis: str, bl: int):
+    """End-to-end sharded polynomial-commitment prove: private commit,
+    public commit, and every LDT fold level sharded over `axis`.
+
+    Returns fn(values (2,2^bl), q_values (2,2^bl), randomness list of (2,))
+    -> dict with root_l, root_h, all_sum, level roots, and the natural-
+    order codewords (gathered host-side for query answering; a
+    query-sparse DMA path is the scale-out follow-up)."""
+    S = mesh.shape[axis]
+    lg = bl + RATE - LOG_SLICE
+    commit_fn = sharded_commit_private(mesh, axis, bl)
+    public_fn = sharded_commit_public(mesh, axis, bl)
+    root_fn = sharded_oracle_root(mesh, axis)
+    fold_fns = {}
+    cur_lg = lg
+    while (1 << cur_lg) > (1 << RATE):
+        fold_fns[cur_lg] = sharded_fold_step(mesh, axis, cur_lg)
+        cur_lg -= 1
+
+    def run(values, q_values, randomness):
+        root_l, l_strided = commit_fn(values)
+        root_h, all_sum, vo, h_strided = public_fn(l_strided, q_values)
+        levels = []
+        cur = vo
+        cur_lg = lg
+        for r in randomness:
+            cur = fold_fns[cur_lg](cur, r)
+            cur_lg -= 1
+            levels.append((root_fn(cur), cur))
+        return dict(
+            root_l=root_l, root_h=root_h, all_sum=all_sum,
+            l_codeword=l_strided, h_codeword=h_strided,
+            level_roots=[lv[0] for lv in levels],
+            level_codewords=[lv[1] for lv in levels],
+            final_codeword=levels[-1][1])
+
+    return run
