@@ -77,15 +77,23 @@ def _round(a, rc):
 
 import os
 
-# Unrolled rounds trade 24 scan-iteration overheads for straight-line code:
-# much faster on TPU (dispatch/iteration overhead dominates the tiny VPU
-# work) but expensive for the CPU XLA scheduler, so it is opt-in.
-UNROLL = os.environ.get("VPT_KECCAK_UNROLL", "0") == "1"
+# Unrolled rounds trade 24 scan-iteration overheads for straight-line code.
+# On TPU loop overhead dominates (measured ~65us/iteration: one sha3 call
+# costs 1.6ms as a scan vs 0.021ms unrolled, and the 65-step FRI leaf chain
+# drops 9.8ms -> 0.02ms), so unroll is the default off-CPU; the CPU XLA
+# scheduler chokes on the unrolled DAG, so CPU keeps the scan.
+_UNROLL_ENV = os.environ.get("VPT_KECCAK_UNROLL")
+
+
+def _use_unroll() -> bool:
+    if _UNROLL_ENV is not None:
+        return _UNROLL_ENV == "1"
+    return jax.default_backend() not in ("cpu",)
 
 
 def keccak_f(state):
     """state: (25, N) uint64 -> (25, N)."""
-    if UNROLL:
+    if _use_unroll():
         for rnd in range(24):
             state, _ = _round(state, jnp.uint64(_RC[rnd]))
         return state
