@@ -392,135 +392,47 @@ def make_prover(cc: CompiledCircuit, plans, staged: bool = True):
             if L.dad_sizes[li] > 0:
                 p2_groups.setdefault(L.dad_bls[li], []).append((i, li))
 
-    bucket_map = _bucket_map(set(p1_groups) | set(p2_groups))
-    man1 = _pack_manifest({"p1": p1_groups, "liu": p1_groups}, bucket_map)
-    man2 = _pack_manifest({"p2": p2_groups}, bucket_map)
-
     arrs = circuit_arrays(cc, plans)
+    inits_fn = jax.jit(
+        lambda values, ch, arrs: _prove_inits(cc, plans, values, ch, arrs))
 
-    def _inits(values, ch, arrs):
-        vres, p1_stacked, liu_stacked = _prove_inits(cc, plans, values, ch,
-                                                     arrs)
-        return vres, _pack({"p1": p1_stacked, "liu": liu_stacked},
-                           bucket_map)
-
-    inits_fn = jax.jit(_inits)
-
-    def _p2init(values, ch, raw1, arrs):
-        res1 = _unpack(raw1, man1)
-        claims = {i: res1[("p1", i)][1][0] for bl in p1_groups
-                  for i in p1_groups[bl]}
-        p2_stacked = _prove_p2_inits(cc, plans, values, ch, claims, arrs)
-        return _pack({"p2": p2_stacked}, bucket_map)
+    def _p2init(values, ch, p1_raw, arrs):
+        claims = {}
+        for bl, group in p1_groups.items():
+            _, (vb, _a, _m) = p1_raw[bl]
+            for kk, tag in enumerate(group):
+                claims[tag] = vb[:, kk]
+        return _prove_p2_inits(cc, plans, values, ch, claims, arrs)
 
     p2init_fn = jax.jit(_p2init)
 
-    def _assemble(vres, ch, raw1, raw2):
-        res1 = _unpack(raw1, man1)
-        p2_scan = {tag: v for (kind, tag), v in _unpack(raw2, man2).items()}
+    def _assemble(vres, ch, p1_raw, p2_raw, liu_raw):
+        p1_res = _unstack(p1_raw, p1_groups)
+        liu_res = _unstack(liu_raw, p1_groups)
+        p2_scan = _unstack(p2_raw, p2_groups, bounds=True)
         p2_out = _prove_p2_combine(cc, ch, p2_scan)
         depth = cc.depth
         layer_proofs = [None] * depth
         for i in range(depth - 1, 0, -1):
             p2_polys, claims_v = p2_out.get(i, (None, None))
-            p1_polys, (p1_vb, _, _) = res1[("p1", i)]
-            liu_polys, (liu_vb, _, _) = res1[("liu", i)]
             layer_proofs[i] = LayerProof(
-                p1_polys=p1_polys, claim_u=p1_vb,
+                p1_polys=p1_res[i][0], claim_u=p1_res[i][1],
                 p2_polys=p2_polys, claims_v=claims_v,
-                liu_polys=liu_polys, liu_claim=liu_vb)
+                liu_polys=liu_res[i][0], liu_claim=liu_res[i][1])
         return Proof(vres=vres, layers=layer_proofs)
 
     assemble_fn = jax.jit(_assemble)
     scan_fn = _batched_scan_jit()
 
     def run(values, ch):
-        vres, packed1 = inits_fn(values, ch, arrs)
-        raw1 = {b: scan_fn(*t) for b, t in sorted(packed1.items())}
-        packed2 = p2init_fn(values, ch, raw1, arrs)
-        raw2 = {b: scan_fn(*t) for b, t in sorted(packed2.items())}
-        return assemble_fn(vres, ch, raw1, raw2)
+        vres, p1_stacked, liu_stacked = inits_fn(values, ch, arrs)
+        p1_raw = {bl: scan_fn(*a) for bl, a in sorted(p1_stacked.items())}
+        p2_stacked = p2init_fn(values, ch, p1_raw, arrs)
+        p2_raw = {bl: scan_fn(*a) for bl, a in sorted(p2_stacked.items())}
+        liu_raw = {bl: scan_fn(*a) for bl, a in sorted(liu_stacked.items())}
+        return assemble_fn(vres, ch, p1_raw, p2_raw, liu_raw)
 
     return run
-
-
-# ---------------------------------------------------------------------------
-# Size-bucketed job packing: merge every fold job (p1 + Liu + p2 across all
-# layers) into a few scan launches.  Tables pad with ZEROS to the bucket
-# size and challenges pad with ZERO: zero pairs contribute nothing to any
-# round polynomial, and binding a zero challenge is the identity on the
-# surviving (real) prefix, so the first real_bl round messages and the
-# final bound scalars are bit-identical to an unpadded run — the padded
-# rounds' messages are simply discarded.  This cuts ~30 per-group kernel
-# dispatches (each with a fixed ~0.5-1ms launch+glue floor on TPU) down to
-# one launch per size bucket.
-# ---------------------------------------------------------------------------
-
-def _bucket_map(job_bls):
-    """bl -> bucket ceiling.  Greedy: descending sizes absorb everything
-    within 2 bits (<= 4x padding waste); all tiny sizes (< 8) share one
-    bucket (they cost nothing)."""
-    out = {}
-    big = sorted((b for b in job_bls if b >= 8), reverse=True)
-    while big:
-        ceil = big[0]
-        take = [b for b in big if b >= ceil - 2]
-        for b in take:
-            out[b] = ceil
-        big = [b for b in big if b < ceil - 2]
-    small = [b for b in job_bls if b < 8]
-    if small:
-        ceil = max(small)
-        for b in small:
-            out[b] = ceil
-    return out
-
-
-def _pack(stackeds, bucket_map):
-    """stackeds: {kind: {bl: (v, a, m, rs)}} with v (2, K, 2^bl),
-    rs (2, K, bl).  Returns {bucket: (v, a, m, rs)} concatenated along K
-    in the same deterministic order as _pack_manifest."""
-    packed = {}
-    for kind in sorted(stackeds):
-        for bl in sorted(stackeds[kind]):
-            v, a, m, rs = stackeds[kind][bl]
-            b = bucket_map[bl]
-            padn = (1 << b) - v.shape[2]
-            if padn:
-                pad = ((0, 0), (0, 0), (0, padn))
-                v, a, m = jnp.pad(v, pad), jnp.pad(a, pad), jnp.pad(m, pad)
-                rs = jnp.pad(rs, ((0, 0), (0, 0), (0, b - bl)))
-            packed.setdefault(b, []).append((v, a, m, rs))
-    return {b: tuple(jnp.concatenate([e[k] for e in lst], axis=1)
-                     for k in range(4))
-            for b, lst in packed.items()}
-
-
-def _pack_manifest(group_maps, bucket_map):
-    """Static mirror of _pack's iteration order:
-    {bucket: [(kind, bl, [tags...]), ...]}."""
-    out = {}
-    for kind in sorted(group_maps):
-        for bl in sorted(group_maps[kind]):
-            out.setdefault(bucket_map[bl], []).append(
-                (kind, bl, group_maps[kind][bl]))
-    return out
-
-
-def _unpack(raw, manifest):
-    """raw: {bucket: (polys (B, K, 2, 3), (vb, ab, mb))}.  Returns
-    {(kind, tag): (polys (bl, 2, 3), (vb, ab, mb) scalars)} with the
-    padded rounds sliced away."""
-    out = {}
-    for b, entries in sorted(manifest.items()):
-        polys, (vb, ab, mb) = raw[b]
-        kk = 0
-        for kind, bl, tags in entries:
-            for tag in tags:
-                out[(kind, tag)] = (polys[:bl, kk],
-                                    (vb[:, kk], ab[:, kk], mb[:, kk]))
-                kk += 1
-    return out
 
 
 _SCAN_JIT = None
