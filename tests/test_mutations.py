@@ -73,17 +73,16 @@ def test_reject_root_l(setup):
 def test_reject_query_value(setup):
     c, cp, full = setup
     f = _reload(full)
-    pairs, path = f.queries.init_l[0]
-    (a, b0) = pairs[3]
-    pairs[3] = ((a[0] ^ 1, a[1]), b0)
+    f.queries.init_l_vals = f.queries.init_l_vals.copy()
+    f.queries.init_l_vals[0, 3, 0, 0] ^= np.uint64(1)
     assert not driver.verify(c, f, cp).ok
 
 
 def test_reject_merkle_path(setup):
     c, cp, full = setup
     f = _reload(full)
-    pairs, path = f.queries.levels[0][0]
-    path[0] = bytes([path[0][0] ^ 1]) + path[0][1:]
+    f.queries.lvl_paths = [p.copy() for p in f.queries.lvl_paths]
+    f.queries.lvl_paths[0][0, 0, 0] ^= np.uint64(1)
     assert not driver.verify(c, f, cp).ok
 
 

@@ -70,6 +70,57 @@ def ones(shape=()):
     return o
 
 
+def neg(x):
+    return np.stack([_cond_sub_p((x[0] ^ _P)), _cond_sub_p((x[1] ^ _P))])
+
+
+def base_mul(x, y):
+    """Canonical base-field product (full 61-bit Mersenne fold)."""
+    with np.errstate(over="ignore"):
+        t = _mymult(x, y)
+        return _cond_sub_p((t >> _S61) + (t & _P))
+
+
+def base_inv(x):
+    """Base-field inverse by Fermat: x^(p-2), x: (...) u64 canonical."""
+    e = MOD - 2
+    r = np.ones_like(x)
+    b = x
+    while e:
+        if e & 1:
+            r = base_mul(r, b)
+        b = base_mul(b, b)
+        e >>= 1
+    return r
+
+
+def inv(x):
+    """GF(p^2) inverse via conjugate/norm: (a - bi) / (a^2 + b^2).
+    p = 2^61-1 == 3 (mod 4), so the norm of a nonzero element is nonzero."""
+    a, b = x[0], x[1]
+    n = add(base_mul(a, a), base_mul(b, b))
+    ninv = base_inv(n)
+    return np.stack([base_mul(a, ninv),
+                     base_mul(_cond_sub_p(b ^ _P), ninv)])
+
+
+def pow_int(base_int, exps, shape=None):
+    """(base_real, base_img) python ints raised to per-lane exponents.
+    exps: int array; returns (2,) + exps.shape."""
+    exps = np.asarray(exps, dtype=np.int64)
+    r = ones(exps.shape)
+    b = np.array([[base_int[0]], [base_int[1]]],
+                 dtype=np.uint64).reshape(2, *([1] * exps.ndim))
+    b = np.broadcast_to(b, (2,) + exps.shape).copy()
+    e = exps.copy()
+    while (e > 0).any():
+        bit = (e & 1).astype(bool)
+        r = np.where(bit[None], mul(r, b), r)
+        b = mul(b, b)
+        e >>= 1
+    return r
+
+
 def horner(coefs, x):
     """coefs: (2, S, K) per-slice coefficients (ascending powers); x:
     (2, B) evaluation points.  Returns (2, B, S): sum_k c[s,k] x^k."""

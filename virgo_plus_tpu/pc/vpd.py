@@ -25,39 +25,9 @@ from ..field.ref import Fq2
 from . import virgo_pc
 from .virgo_pc import LOG_SLICE, SLICES, RATE
 
-ONE = Fq2.raw(1, 0)
-
-
-def _el_bytes(real: int, img: int) -> bytes:
-    return int(real).to_bytes(8, "little") + int(img).to_bytes(8, "little")
-
-
 def _hash64(data: bytes) -> bytes:
     assert len(data) == 64
     return hashlib.sha3_256(data).digest()
-
-
-def leaf_hash_host(pairs) -> bytes:
-    """pairs: list of 65 ((real,img),(real,img)) value pairs -> 32B digest
-    (the fri.cpp:96-124 chain)."""
-    h = b"\x00" * 32
-    for (a, b) in pairs:
-        h = _hash64(_el_bytes(*a) + _el_bytes(*b) + h)
-    return h
-
-
-def verify_merkle_host(root: bytes, path: List[bytes], pos: int,
-                       pairs) -> bool:
-    """vpd_verifier.cpp:9-39: path[-1] must equal the chained value hash and
-    hash up to the root."""
-    cur = path[-1]
-    for sib in path[:-1]:
-        if pos & 1:
-            cur = _hash64(sib + cur)
-        else:
-            cur = _hash64(cur + sib)
-        pos //= 2
-    return cur == root and leaf_hash_host(pairs) == path[-1]
 
 
 @dataclass
@@ -72,36 +42,6 @@ class OracleHost:
         cw = np.asarray(oracle.codeword)
         return OracleHost(codeword=cw, tree=np.asarray(oracle.tree),
                           n=cw.shape[2])
-
-    def root(self) -> bytes:
-        return b"".join(int(self.tree[w, 1]).to_bytes(8, "little")
-                        for w in range(4))
-
-    def node(self, i: int) -> bytes:
-        return b"".join(int(self.tree[w, i]).to_bytes(8, "little")
-                        for w in range(4))
-
-    def pair(self, s: int, pos: int):
-        half = self.n // 2
-        a = (int(self.codeword[0, s, pos]), int(self.codeword[1, s, pos]))
-        b = (int(self.codeword[0, s, pos + half]),
-             int(self.codeword[1, s, pos + half]))
-        return (a, b)
-
-    def all_pairs(self, pos: int):
-        return [self.pair(s, pos) for s in range(SLICES + 1)]
-
-    def path(self, pos: int) -> List[bytes]:
-        """Siblings bottom-up + the leaf itself last (fri.cpp:177-204)."""
-        nleaf = self.n // 2
-        out = []
-        p = nleaf + pos
-        leaf = self.node(p)
-        while p > 1:
-            out.append(self.node(p ^ 1))
-            p //= 2
-        out.append(leaf)
-        return out
 
 
 class SizeAccount:
@@ -180,188 +120,283 @@ def draw_positions(rng, bl: int) -> List[int]:
 
 @dataclass
 class QueryAnswers:
-    """Per repetition: initial l/h pairs+paths and per-level pairs+paths —
-    the serialized content of the FRI opening (the reference's
-    request_init_value_with_merkle / request_step_commit responses)."""
-    init_l: list      # [(pairs, path)] per rep
-    init_h: list
-    levels: list      # [[(pairs, path) per level] per rep]
+    """The serialized content of the FRI opening (the reference's
+    request_init_value_with_merkle / request_step_commit responses), stored
+    as uniform arrays so the prover answers and the verifier checks all 33
+    repetitions with vectorized gathers / field math.
+
+    *_vals: (R, 65, 2, 2) u64 — [rep, slice, pair a/b, (real, img)].
+    *_paths: (R, D, 4) u64 — per rep the sibling digests bottom-up followed
+    by the leaf digest (fri.cpp:177-204 response layout)."""
+    init_l_vals: np.ndarray
+    init_l_paths: np.ndarray
+    init_h_vals: np.ndarray
+    init_h_paths: np.ndarray
+    lvl_vals: list        # per level (R, 65, 2, 2)
+    lvl_paths: list       # per level (R, D_l, 4)
+
+
+def _gather_vals(cw: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """cw (2, 65, N), pos (R,) -> (R, 65, 2, 2) value pairs (pos, pos+N/2)."""
+    half = cw.shape[2] // 2
+    a = cw[:, :, pos]                     # (2, 65, R)
+    b = cw[:, :, pos + half]
+    out = np.stack([a, b], axis=3)        # (2, 65, R, 2)
+    return np.ascontiguousarray(out.transpose(2, 1, 3, 0))
+
+
+def _gather_paths(tree: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """tree (4, 2N), pos (R,) leaf positions -> (R, depth+1, 4): siblings
+    bottom-up then the leaf digest."""
+    nleaf = tree.shape[1] // 2
+    depth = nleaf.bit_length() - 1
+    p = nleaf + pos.astype(np.int64)
+    leaf = tree[:, p]                     # (4, R)
+    sibs = np.zeros((depth, 4, len(pos)), np.uint64)
+    for d in range(depth):
+        sibs[d] = tree[:, p ^ 1]
+        p >>= 1
+    out = np.concatenate([sibs, leaf[None]], axis=0)   # (depth+1, 4, R)
+    return np.ascontiguousarray(out.transpose(2, 0, 1))
 
 
 def answer_queries(pows: List[int], bl: int, l_host: OracleHost,
                    h_host: OracleHost,
                    level_hosts: List[OracleHost]):
-    """Prover side: gather value pairs and Merkle paths for every query.
-    Also computes the reference's deduplicated proof size."""
+    """Prover side: vectorized gathers of value pairs and Merkle paths for
+    every query.  Also computes the reference's deduplicated proof size."""
     lg0 = bl + RATE - LOG_SLICE
     acct = SizeAccount(bl, len(level_hosts))
     proof_size = 0
-    init_l, init_h, levels = [], [], []
-    for pow0 in pows:
+    pows_np = np.asarray(pows, dtype=np.int64)
+    p0s = pows_np // 2
+    init_l_vals = _gather_vals(l_host.codeword, p0s)
+    init_l_paths = _gather_paths(l_host.tree, p0s)
+    init_h_vals = _gather_vals(h_host.codeword, p0s)
+    init_h_paths = _gather_paths(h_host.tree, p0s)
+    lvl_vals, lvl_paths = [], []
+    pw = pows_np.copy()
+    for lvl, host in enumerate(level_hosts):
+        if lvl > 0:
+            pw = pw % (1 << (lg0 - lvl))
+        bps = (pw // 2) % (host.n // 2)
+        lvl_vals.append(_gather_vals(host.codeword, bps))
+        lvl_paths.append(_gather_paths(host.tree, bps))
+    # dedup size accounting (sequential by construction: the bitmaps carry
+    # state across repetitions exactly as fri.cpp:148-287 does)
+    for r, pow0 in enumerate(pows):
         p0 = pow0 // 2
         ppos = _path_positions(p0, l_host.n // 2)
         acct.init_query(0, p0, lg0 - 1, ppos)
         proof_size += acct.init_query(1, p0, lg0 - 1, ppos)
-        init_l.append((l_host.all_pairs(p0), l_host.path(p0)))
-        init_h.append((h_host.all_pairs(p0), h_host.path(p0)))
-        lvl_answers = []
         pw = pow0
         for lvl, host in enumerate(level_hosts):
             if lvl > 0:
                 pw = pw % (1 << (lg0 - lvl))
             bp = (pw // 2) % (host.n // 2)
-            ppos = _path_positions(bp, host.n // 2)
-            proof_size += acct.step_query(lvl, bp, ppos)
-            lvl_answers.append((host.all_pairs(bp), host.path(bp)))
-        levels.append(lvl_answers)
-    return QueryAnswers(init_l=init_l, init_h=init_h, levels=levels),         proof_size
+            proof_size += acct.step_query(lvl, bp,
+                                          _path_positions(bp, host.n // 2))
+    return QueryAnswers(init_l_vals=init_l_vals, init_l_paths=init_l_paths,
+                        init_h_vals=init_h_vals, init_h_paths=init_h_paths,
+                        lvl_vals=lvl_vals, lvl_paths=lvl_paths), proof_size
+
+
+def _leaf_digests(vals: np.ndarray) -> List[bytes]:
+    """(R, 65, 2, 2) value pairs -> per-rep 65-step chain digests
+    (fri.cpp:96-124).  vals[r, s].tobytes() is exactly the reference's
+    64-byte block: a.real, a.img, b.real, b.img as LE u64."""
+    out = []
+    for r in range(vals.shape[0]):
+        h = b"\x00" * 32
+        vr = vals[r]
+        for s in range(vr.shape[0]):
+            h = _hash64(vr[s].tobytes() + h)
+        out.append(h)
+    return out
+
+
+def _verify_paths(root: bytes, paths: np.ndarray, positions: np.ndarray,
+                  vals: np.ndarray) -> bool:
+    """Array form of verify_merkle_host over all repetitions."""
+    leaves = _leaf_digests(vals)
+    for r in range(paths.shape[0]):
+        cur = paths[r, -1].tobytes()
+        if cur != leaves[r]:
+            return False
+        pos = int(positions[r])
+        for d in range(paths.shape[1] - 1):
+            sib = paths[r, d].tobytes()
+            cur = _hash64(sib + cur) if pos & 1 else _hash64(cur + sib)
+            pos //= 2
+        if cur != root:
+            return False
+    return True
+
+
+def _comp_first(vals: np.ndarray, pair: int) -> np.ndarray:
+    """(R, 65, 2, 2) -> (2, R, 65) for one pair side."""
+    return np.ascontiguousarray(vals[:, :, pair, :].transpose(2, 0, 1))
 
 
 def check_queries(pows: List[int], answers: QueryAnswers, bl: int,
-                  level_randomness: List[Fq2], level_roots: List[bytes],
-                  q_coefs: np.ndarray, all_sum: List[Fq2], root_l: bytes,
+                  level_randomness, level_roots: List[bytes],
+                  q_coefs: np.ndarray, all_sum: np.ndarray, root_l: bytes,
                   root_h: bytes, final_codeword: np.ndarray):
     """Verifier side of the 33 query walks + final-codeword checks
-    (vpd_verifier.cpp:101-326), consuming only serialized answers."""
-    log_length = bl
-    lg0 = log_length + RATE - LOG_SLICE      # log initial codeword size
+    (vpd_verifier.cpp:101-326), consuming only serialized answers.
+
+    All 33 repetitions x 65 slices check together per fold level with exact
+    numpy u64 field math (field/np_ops.py); only the Merkle path hashing
+    stays per-repetition (hashlib SHA3, C speed).
+
+    level_randomness: (2, L) u64 array (or list of Fq2, converted);
+    all_sum: (2, 65) u64 array (or list of Fq2, converted)."""
+    from ..field import np_ops as fnp
+
+    R = virgo_pc.LDT_REPEATS
+    lg0 = bl + RATE - LOG_SLICE              # log initial codeword size
     srec = 1 << (bl - LOG_SLICE)
-    inv_2 = Fq2.raw(2, 0).inv()
+    n_levels = bl - LOG_SLICE
+
+    if isinstance(level_randomness, list) and level_randomness and \
+            isinstance(level_randomness[0], Fq2):
+        level_randomness = np.array(
+            [[e.real for e in level_randomness],
+             [e.img for e in level_randomness]], dtype=np.uint64)
+    else:
+        level_randomness = np.asarray(level_randomness, dtype=np.uint64)
+    if isinstance(all_sum, list):
+        all_sum = np.array([[e.real for e in all_sum],
+                            [e.img for e in all_sum]], dtype=np.uint64)
+    else:
+        all_sum = np.asarray(all_sum, dtype=np.uint64)
 
     q_coefs = np.asarray(q_coefs)            # (2, 64, srec)
+    pows_np = np.asarray(pows, dtype=np.int64)
 
-    # Batched q-polynomial evaluation for all repetitions' (s0, s1) points
-    # (vpd_verifier.cpp:206-216): the dominant verifier cost as python-int
-    # Fq2 (33 reps x 64 slices x srec muls) — exact numpy u64 instead.
-    from ..field import np_ops as fnp
-    rou0 = Fq2.raw(*gf.root_of_unity_int(lg0))
-    x_pts = np.zeros((2, 2 * virgo_pc.LDT_REPEATS), dtype=np.uint64)
-    for rep in range(virgo_pc.LDT_REPEATS):
-        pw = pows[rep]
-        e0 = rou0.pow(pw // 2)
-        e1 = rou0.pow((pw + (1 << lg0)) // 2)
-        x_pts[0, 2 * rep], x_pts[1, 2 * rep] = e0.real, e0.img
-        x_pts[0, 2 * rep + 1], x_pts[1, 2 * rep + 1] = e1.real, e1.img
-    q_at = fnp.horner(q_coefs, x_pts)        # (2, 2R, 64)
+    inv2_int = Fq2.raw(2, 0).inv()
+    inv2 = np.array([[inv2_int.real], [inv2_int.img]],
+                    dtype=np.uint64)[:, :, None]          # (2, 1, 1)
+
+    def eq(x, y):
+        return (x == y).all(axis=0)
+
+    def pow2k(x, k):
+        for _ in range(k):
+            x = fnp.mul(x, x)
+        return x
 
     ok = True
-    for rep in range(virgo_pc.LDT_REPEATS):
-        pow_ = None
-        root_of_unity = None
-        y = None
-        equ_beta = None
-        alpha_pairs = None
-        beta_pairs = None
-        for i in range(log_length - LOG_SLICE):
-            lg_cur = lg0 - i
-            if i == 0:
-                pow_ = pows[rep]
-                root_of_unity = Fq2.raw(*gf.root_of_unity_int(lg_cur))
-                y = root_of_unity.pow(pow_)
-            else:
-                root_of_unity = root_of_unity * root_of_unity
-                pow_ = pow_ % (1 << lg_cur)
-                y = y * y
+    pow_ = pows_np.copy()
+    for i in range(n_levels):
+        lg_cur = lg0 - i
+        if i > 0:
+            pow_ = pow_ % (1 << lg_cur)
+        rou_int = gf.root_of_unity_int(lg_cur)
+        half_pow = pow_ // 2
+        inv_mu = fnp.inv(fnp.pow_int(rou_int, half_pow))[:, :, None]
+        r_i = level_randomness[:, i][:, None, None]        # (2, 1, 1)
+
+        # this level's opened pairs + Merkle check
+        nl_half = 1 << (lg_cur - 2)          # level-i leaves per slice tree
+        bp = half_pow % nl_half
+        if not _verify_paths(level_roots[i], answers.lvl_paths[i], bp,
+                             answers.lvl_vals[i]):
+            return False
+        b0 = _comp_first(answers.lvl_vals[i], 0)           # (2, R, 65)
+        b1 = _comp_first(answers.lvl_vals[i], 1)
+
+        if i == 0:
+            # initial oracle openings (both l and h at the paired points)
             s0_pow = pow_ // 2
             s1_pow = (pow_ + (1 << lg_cur)) // 2
-            s0 = root_of_unity.pow(s0_pow)
-            s1 = root_of_unity.pow(s1_pow)
-
-            if i == 0:
-                p0 = min(s0_pow, s1_pow)
-                alpha_l, path_l = answers.init_l[rep]
-                alpha_h, path_h = answers.init_h[rep]
-                if not verify_merkle_host(root_l, path_l, p0, alpha_l):
-                    return False
-                if not verify_merkle_host(root_h, path_h, p0, alpha_h):
-                    return False
-                # level-0 fold query; the reference mapping reduces to the
-                # pair (pos mod half, pos mod half + half)
-                n0 = 1 << (lg0 - 1)       # level-0 codeword size per slice
-                bp = (pow_ // 2) % (n0 // 2)
-                beta_pairs, path_b = answers.levels[rep][0]
-                if not verify_merkle_host(level_roots[0], path_b, bp,
-                                          beta_pairs):
-                    return False
-
-                inv_mu = root_of_unity.pow(pow_ // 2).inv()
-                # q evaluations at s0, s1 per slice (coefficient dots)
-                x0, x1 = s0, s1
-                rou_v = [None] * 2
-                alpha_vals = []
-                for j in range(SLICES + 1):
-                    if j < SLICES:
-                        tst0 = Fq2.raw(int(q_at[0, 2 * rep, j]),
-                                       int(q_at[1, 2 * rep, j]))
-                        tst1 = Fq2.raw(int(q_at[0, 2 * rep + 1, j]),
-                                       int(q_at[1, 2 * rep + 1, j]))
-                    else:
-                        tst0 = Fq2.raw(0, 0)   # mask q coefficients: zero
-                        tst1 = Fq2.raw(0, 0)
-                    a_l0 = Fq2.raw(*alpha_l[j][0])
-                    a_l1 = Fq2.raw(*alpha_l[j][1])
-                    a_h0 = Fq2.raw(*alpha_h[j][0])
-                    a_h1 = Fq2.raw(*alpha_h[j][1])
-                    if j == SLICES:
-                        # mask slice: msk_rou = x^(ss/gap) with gap=ss -> x
-                        m0 = a_l0 * tst0 - (x0 - ONE) * a_h0
-                        m1 = a_l1 * tst1 - (x1 - ONE) * a_h1
-                        v0 = (m0 * ONE - all_sum[j]) * x0.inv()
-                        v1 = (m1 * ONE - all_sum[j]) * x1.inv()
-                    else:
-                        rou0 = x0.pow(1 << (lg0 - RATE))
-                        rou1 = x1.pow(1 << (lg0 - RATE))
-                        v0 = (a_l0 * tst0 - (rou0 - ONE) * a_h0)
-                        v0 = (v0 * Fq2.raw(srec, 0) - all_sum[j]) * x0.inv()
-                        v1 = (a_l1 * tst1 - (rou1 - ONE) * a_h1)
-                        v1 = (v1 * Fq2.raw(srec, 0) - all_sum[j]) * x1.inv()
-                    if s0_pow > s1_pow:
-                        v0, v1 = v1, v0
-                    p_val = (v0 + v1) * inv_2 + \
-                        (v0 - v1) * inv_2 * level_randomness[0] * inv_mu
-                    b0 = Fq2.raw(*beta_pairs[j][0])
-                    b1 = Fq2.raw(*beta_pairs[j][1])
-                    if p_val != b0 and p_val != b1:
-                        return False
-                    equ_beta = (p_val == b1)
-            else:
-                alpha_pairs = beta_pairs
-                lvl = i
-                nl = 1 << (lg0 - 1 - lvl)  # level codeword size per slice
-                bp = (pow_ // 2) % (nl // 2)
-                beta_pairs, path_b = answers.levels[rep][lvl]
-                if not verify_merkle_host(level_roots[lvl], path_b, bp,
-                                          beta_pairs):
-                    return False
-                inv_mu = root_of_unity.pow(pow_ // 2).inv()
-                r_i = level_randomness[i]
-                for j in range(SLICES + 1):
-                    a0 = Fq2.raw(*alpha_pairs[j][0])
-                    a1 = Fq2.raw(*alpha_pairs[j][1])
-                    p0v = (a0 + a1) * inv_2 + (a0 - a1) * inv_2 * r_i * inv_mu
-                    p1v = (a0 + a1) * inv_2 + (a1 - a0) * inv_2 * r_i * inv_mu
-                    b0 = Fq2.raw(*beta_pairs[j][0])
-                    b1 = Fq2.raw(*beta_pairs[j][1])
-                    if p0v != b0 and p0v != b1 and p1v != b0 and p1v != b1:
-                        return False
-
-        # final codeword constancy (vpd_verifier.cpp:311-325): the
-        # reference checks only the first 2^(RATE-1) positions per real
-        # slice, but every adjacent pair of the mask slice.
-        fc = np.asarray(final_codeword)
-        hr = 1 << (RATE - 1)
-        for sl in range(SLICES):
-            if not (fc[:, sl, :hr] == fc[:, sl, :1]).all():
+            p0 = np.minimum(s0_pow, s1_pow)
+            if not _verify_paths(root_l, answers.init_l_paths, p0,
+                                 answers.init_l_vals):
                 return False
-        if not (fc[:, SLICES, :] == fc[:, SLICES, :1]).all():
-            return False
+            if not _verify_paths(root_h, answers.init_h_paths, p0,
+                                 answers.init_h_vals):
+                return False
+
+            s0 = fnp.pow_int(rou_int, s0_pow)              # (2, R)
+            s1 = fnp.pow_int(rou_int, s1_pow)
+
+            # q(s0), q(s1) per slice; mask slice's q is identically zero
+            x_pts = np.concatenate([s0, s1], axis=1)       # (2, 2R)
+            q_at = fnp.horner(q_coefs, x_pts)              # (2, 2R, 64)
+            z = np.zeros((2, R, 1), np.uint64)
+            tst0 = np.concatenate([q_at[:, :R], z], axis=2)    # (2, R, 65)
+            tst1 = np.concatenate([q_at[:, R:], z], axis=2)
+
+            al0, al1 = (_comp_first(answers.init_l_vals, 0),
+                        _comp_first(answers.init_l_vals, 1))
+            ah0, ah1 = (_comp_first(answers.init_h_vals, 0),
+                        _comp_first(answers.init_h_vals, 1))
+
+            # vanishing factor: (x^srec - 1) for real slices, (x - 1) for
+            # the mask slice (gap == slice size there); srec scale only on
+            # real slices (vpd_verifier.cpp:206-250)
+            one = fnp.ones((R, 1))
+            mask_col = np.zeros((1, R, SLICES + 1), bool)
+            mask_col[0, :, SLICES] = True
+            x0c = s0[:, :, None]
+            x1c = s1[:, :, None]
+            van0 = np.where(mask_col, fnp.sub(x0c, one),
+                            fnp.sub(pow2k(s0, bl - LOG_SLICE)[:, :, None],
+                                    one))
+            van1 = np.where(mask_col, fnp.sub(x1c, one),
+                            fnp.sub(pow2k(s1, bl - LOG_SLICE)[:, :, None],
+                                    one))
+            srec_el = fnp.zeros((1, 1))
+            srec_el[0] = srec % fnp.MOD
+            scale = np.where(mask_col, fnp.ones((R, SLICES + 1)),
+                             np.broadcast_to(srec_el[:, :1, :1],
+                                             (2, R, SLICES + 1)))
+            x0inv = fnp.inv(s0)[:, :, None]
+            x1inv = fnp.inv(s1)[:, :, None]
+            asum = np.broadcast_to(all_sum[:, None, :], (2, R, SLICES + 1))
+            v0 = fnp.mul(fnp.sub(fnp.mul(fnp.sub(fnp.mul(al0, tst0),
+                                                 fnp.mul(van0, ah0)),
+                                         scale), asum), x0inv)
+            v1 = fnp.mul(fnp.sub(fnp.mul(fnp.sub(fnp.mul(al1, tst1),
+                                                 fnp.mul(van1, ah1)),
+                                         scale), asum), x1inv)
+            swap = (s0_pow > s1_pow)[None, :, None]
+            v0, v1 = (np.where(swap, v1, v0), np.where(swap, v0, v1))
+            p_val = fnp.add(fnp.mul(fnp.add(v0, v1), inv2),
+                            fnp.mul(fnp.mul(fnp.mul(fnp.sub(v0, v1), inv2),
+                                            r_i), inv_mu))
+            match = eq(p_val, b0) | eq(p_val, b1)
+            if not match.all():
+                return False
+        else:
+            a0 = _comp_first(answers.lvl_vals[i - 1], 0)
+            a1 = _comp_first(answers.lvl_vals[i - 1], 1)
+            s_half = fnp.mul(fnp.add(a0, a1), inv2)
+            d_half = fnp.mul(fnp.mul(fnp.mul(fnp.sub(a0, a1), inv2), r_i),
+                             inv_mu)
+            p0v = fnp.add(s_half, d_half)
+            p1v = fnp.sub(s_half, d_half)
+            match = (eq(p0v, b0) | eq(p0v, b1) | eq(p1v, b0) | eq(p1v, b1))
+            if not match.all():
+                return False
+
+    # final codeword constancy (vpd_verifier.cpp:311-325): the reference
+    # checks only the first 2^(RATE-1) positions per real slice, but every
+    # adjacent pair of the mask slice.
+    fc = np.asarray(final_codeword)
+    hr = 1 << (RATE - 1)
+    if not (fc[:, :SLICES, :hr] == fc[:, :SLICES, :1]).all():
+        return False
+    if not (fc[:, SLICES, :] == fc[:, SLICES, :1]).all():
+        return False
     return ok
 
 
 def verify_queries(rng, bl: int, l_host: OracleHost, h_host: OracleHost,
-                   level_hosts: List[OracleHost], level_randomness: List[Fq2],
+                   level_hosts: List[OracleHost], level_randomness,
                    level_roots: List[bytes], q_coefs: np.ndarray,
-                   all_sum: List[Fq2], root_l: bytes, root_h: bytes,
+                   all_sum, root_l: bytes, root_h: bytes,
                    final_codeword: np.ndarray):
     """Interactive-equivalent wrapper: draw positions, answer, check.
     Returns (ok, dedup proof size in bytes)."""
@@ -380,14 +415,3 @@ def _path_positions(pos: int, nleaf: int):
         out.append(p)
         p //= 2
     return out
-
-
-def _poly_eval(q_coefs, j: int, x: Fq2) -> Fq2:
-    """sum_k q_coefs[j][k] * x^k (vpd_verifier.cpp:206-216)."""
-    acc = Fq2.raw(0, 0)
-    xp = ONE
-    for k in range(q_coefs.shape[2]):
-        acc = acc + Fq2.raw(int(q_coefs[0, j, k]),
-                            int(q_coefs[1, j, k])) * xp
-        xp = xp * x
-    return acc

@@ -18,7 +18,6 @@ from typing import List, Optional
 import numpy as np
 
 from .pc.vpd import QueryAnswers
-from .pc.virgo_pc import SLICES
 
 
 @dataclass
@@ -38,50 +37,28 @@ class FullProof:
 
 
 def _pack_queries(qa: QueryAnswers):
-    """Flatten query answers into uniform arrays.
-    pairs: (reps, 65, 2, 2) u64 per oracle-query; paths: list of (reps, depth+1, 4)."""
-    def pack_side(side):
-        reps = len(side)
-        nvals = np.zeros((reps, SLICES + 1, 2, 2), np.uint64)
-        depth = len(side[0][1])
-        paths = np.zeros((reps, depth, 4), np.uint64)
-        for r, (pairs, path) in enumerate(side):
-            for s, (a, b) in enumerate(pairs):
-                nvals[r, s, 0] = a
-                nvals[r, s, 1] = b
-            for d, h in enumerate(path):
-                paths[r, d] = np.frombuffer(h, dtype=np.uint64)
-        return nvals, paths
-    out = {}
-    out["init_l_vals"], out["init_l_paths"] = pack_side(qa.init_l)
-    out["init_h_vals"], out["init_h_paths"] = pack_side(qa.init_h)
-    n_levels = len(qa.levels[0])
-    for lvl in range(n_levels):
-        side = [rep[lvl] for rep in qa.levels]
-        out[f"lvl{lvl}_vals"], out[f"lvl{lvl}_paths"] = pack_side(side)
-    out["n_levels"] = np.array([n_levels])
+    """Query answers are already uniform arrays (pc/vpd.py QueryAnswers):
+    vals (reps, 65, 2, 2) u64, paths (reps, depth+1, 4)."""
+    out = {
+        "init_l_vals": np.asarray(qa.init_l_vals),
+        "init_l_paths": np.asarray(qa.init_l_paths),
+        "init_h_vals": np.asarray(qa.init_h_vals),
+        "init_h_paths": np.asarray(qa.init_h_paths),
+    }
+    for lvl, (v, p) in enumerate(zip(qa.lvl_vals, qa.lvl_paths)):
+        out[f"lvl{lvl}_vals"] = np.asarray(v)
+        out[f"lvl{lvl}_paths"] = np.asarray(p)
+    out["n_levels"] = np.array([len(qa.lvl_vals)])
     return out
 
 
 def _unpack_queries(d) -> QueryAnswers:
-    def unpack_side(vals, paths):
-        side = []
-        for r in range(vals.shape[0]):
-            pairs = [((int(vals[r, s, 0, 0]), int(vals[r, s, 0, 1])),
-                      (int(vals[r, s, 1, 0]), int(vals[r, s, 1, 1])))
-                     for s in range(vals.shape[1])]
-            path = [paths[r, k].tobytes() for k in range(paths.shape[1])]
-            side.append((pairs, path))
-        return side
-    init_l = unpack_side(d["init_l_vals"], d["init_l_paths"])
-    init_h = unpack_side(d["init_h_vals"], d["init_h_paths"])
     n_levels = int(d["n_levels"][0])
-    per_level = [unpack_side(d[f"lvl{lvl}_vals"], d[f"lvl{lvl}_paths"])
-                 for lvl in range(n_levels)]
-    reps = len(init_l)
-    levels = [[per_level[lvl][r] for lvl in range(n_levels)]
-              for r in range(reps)]
-    return QueryAnswers(init_l=init_l, init_h=init_h, levels=levels)
+    return QueryAnswers(
+        init_l_vals=d["init_l_vals"], init_l_paths=d["init_l_paths"],
+        init_h_vals=d["init_h_vals"], init_h_paths=d["init_h_paths"],
+        lvl_vals=[d[f"lvl{lvl}_vals"] for lvl in range(n_levels)],
+        lvl_paths=[d[f"lvl{lvl}_paths"] for lvl in range(n_levels)])
 
 
 def save(path_or_buf, proof: FullProof):
