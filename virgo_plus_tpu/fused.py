@@ -1,0 +1,66 @@
+"""Single-dispatch end-to-end prover: the whole Virgo++ prove as ONE jit.
+
+The reference's prove path is a long host-driven call chain
+(/root/reference/src/verifier.cpp:134-189 driving prover.cpp + the PC in
+lib/virgo).  Because the challenge schedule is message-independent (the
+reference draws from a fixed srand(3396) stream), the ENTIRE prover is a
+feed-forward computation: circuit evaluation, the input-codeword commit,
+every GKR sumcheck, the public commit, and all FRI fold levels compose into
+one jitted device program.
+
+Why this matters on TPU: the staged prover issues ~30 dispatches per proof;
+through a remote-TPU tunnel each dispatch can cost multiple milliseconds of
+latency on a bad day (measured round-1: the same staged code benched 0.013 s
+and 0.183 s depending on tunnel state).  One dispatch makes the prove time a
+property of the device program, not of host-link latency.
+
+All static index/permutation arrays enter as jit ARGUMENTS via the
+circuit_arrays pytree (closure-captured constants bloat MLIR and fold
+gathers into slow constant forms).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .circuits.compile import CompiledCircuit, evaluate
+from .gkr import protocol
+from .gkr.beta import beta_table
+from .field import gf
+from .pc import virgo_pc
+from .pc.fft import ifft
+
+
+def prove_e2e(cc: CompiledCircuit, plans, inputs, ch, fold_rands, arrs):
+    """Traceable full prove.  fold_rands: tuple of (2,) fold challenges.
+
+    Returns (proof, l_oracle, h_oracle, all_sum, q_coefs, ldt)."""
+    bl0 = cc.layers[0].bit_length
+    values = evaluate(cc, inputs, arrs)
+    proof = protocol.prove(cc, plans, values, ch, arrs)
+
+    l_oracle, _l_coefs = virgo_pc.commit_private(inputs, bl0)
+
+    final_point = ch.layers[1].r_liu[:, :bl0]
+    q_values = beta_table(final_point, bl0, gf.ones(()))
+    srec_lg = bl0 - virgo_pc.LOG_SLICE
+    rou_small = gf.root_of_unity_int(srec_lg)
+    sl = q_values.reshape(2, virgo_pc.SLICES, 1 << srec_lg)
+    q_coefs = jax.vmap(lambda v: ifft(v, rou_small), in_axes=1, out_axes=1)(sl)
+
+    h_oracle, _q_eval, _q_coefs2, all_sum, vo = virgo_pc.commit_public(
+        l_oracle.codeword, q_values, bl0)
+    ldt = virgo_pc.commit_phase(vo, bl0, list(fold_rands))
+    return proof, l_oracle, h_oracle, all_sum, q_coefs, ldt
+
+
+def make_e2e_prover(cc: CompiledCircuit, plans):
+    """Returns run(inputs, ch, fold_rands) -> same tuple as prove_e2e,
+    compiled as one jit.  fold_rands must be a tuple of (2,) uint64 arrays
+    of length bl0 - LOG_SLICE."""
+    arrs = protocol.circuit_arrays(cc, plans)
+    f = jax.jit(lambda inputs, ch, fold_rands, arrs:
+                prove_e2e(cc, plans, inputs, ch, fold_rands, arrs))
+    return lambda inputs, ch, fold_rands: f(inputs, ch, tuple(fold_rands),
+                                            arrs)

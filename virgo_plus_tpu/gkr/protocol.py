@@ -101,8 +101,13 @@ class LayerPlans:
 def circuit_arrays(cc: CompiledCircuit, plans) -> dict:
     """All large per-layer index/coefficient arrays as one pytree, passed
     into the staged jits as ARGUMENTS (closure capture would inline them as
-    dense constants — multi-MB MLIR, TPU compile-helper OOM)."""
+    dense constants — multi-MB MLIR, TPU compile-helper OOM).  Includes the
+    bit-reversal permutations for every fold size so the Pallas fold kernel
+    can run inside a fused jit (a closed-over perm becomes a ~130x slower
+    constant gather)."""
+    from .sumcheck import _bitrev_perm
     arrs = {}
+    fold_bls = set()
     for i in range(1, cc.depth):
         L = cc.layers[i]
         P = plans[i]
@@ -110,13 +115,19 @@ def circuit_arrays(cc: CompiledCircuit, plans) -> dict:
         arrs[f"y{i}"] = L.y_idx
         arrs[f"co{i}"] = L.coeff
         arrs[f"p1_{i}"] = P.p1.arrays()
+        fold_bls.add(cc.layers[i - 1].bit_length)
         if P.p2 is not None:
             arrs[f"p2_{i}"] = P.p2.arrays()
             arrs[f"dg{i}"] = jnp.clip(L.dad_gather_idx, 0)
             arrs[f"dgm{i}"] = jnp.asarray(
                 np.asarray(L.dad_gather_idx) >= 0)[None, :]
+            for li in range(i):
+                if L.dad_sizes[li] > 0:
+                    fold_bls.add(L.dad_bls[li])
         if P.liu_plan is not None:
             arrs[f"liu_{i}"] = P.liu_plan.arrays()
+    for bl in fold_bls:
+        arrs[f"perm{bl}"] = jnp.asarray(_bitrev_perm(bl))
     return arrs
 
 
@@ -210,12 +221,12 @@ def prove(cc: CompiledCircuit, plans, values, ch: Challenges,
     if arrs is None:
         arrs = circuit_arrays(cc, plans)
     vres, p1_stacked, liu_stacked = _prove_inits(cc, plans, values, ch, arrs)
-    p1_res = _apply_grouped(p1_stacked, p1_groups)
+    p1_res = _apply_grouped(p1_stacked, p1_groups, arrs)
     claims = {i: p1_res[i][1] for i in p1_res}
     p2_stacked = _prove_p2_inits(cc, plans, values, ch, claims, arrs)
-    p2_scan = _apply_grouped(p2_stacked, p2_groups, bounds=True)
+    p2_scan = _apply_grouped(p2_stacked, p2_groups, arrs, bounds=True)
     p2_out = _prove_p2_combine(cc, ch, p2_scan)
-    liu_res = _apply_grouped(liu_stacked, p1_groups)
+    liu_res = _apply_grouped(liu_stacked, p1_groups, arrs)
 
     layer_proofs: List[Optional[LayerProof]] = [None] * depth
     for i in range(depth - 1, 0, -1):
@@ -227,13 +238,20 @@ def prove(cc: CompiledCircuit, plans, values, ch: Challenges,
     return Proof(vres=vres, layers=layer_proofs)
 
 
-def _apply_grouped(stacked, groups, bounds=False):
-    """Trace-inline version of _run_grouped (no per-group jit)."""
+def _apply_grouped(stacked, groups, arrs=None, bounds=False):
+    """Trace-inline fold application (used inside the fused prove jit).
+
+    arrs: the circuit_arrays pytree; its perm{bl} entries feed the Pallas
+    kernel's bit-reversal gather as jit ARGUMENTS (a closed-over perm is a
+    ~130x slower constant gather on TPU).  Without arrs, falls back to the
+    pure-XLA fold."""
     out = {}
-    for bl, arrs in sorted(stacked.items()):
-        # fused path: keep the XLA fold (inside one outer jit the Pallas
-        # path's bitrev perm would become a slow constant gather)
-        polys, (vb, ab, mb) = scan_sumcheck_batched_br(*arrs)
+    for bl, job in sorted(stacked.items()):
+        perm = None if arrs is None else arrs.get(f"perm{bl}")
+        if perm is not None:
+            polys, (vb, ab, mb) = scan_sumcheck_auto(*job, perm=perm)
+        else:
+            polys, (vb, ab, mb) = scan_sumcheck_batched_br(*job)
         for kk, tag in enumerate(groups[bl]):
             if bounds:
                 out[tag] = (polys[:, kk], (vb[:, kk], ab[:, kk], mb[:, kk]))
@@ -443,11 +461,18 @@ def _batched_scan_jit():
     if _SCAN_JIT is None:
         from .sumcheck import _bitrev_perm
         inner = jax.jit(scan_sumcheck_auto)
+        dev_perms = {}
 
         def run(v, a, m, rs):
             # bit-reversal permutation as a jit ARGUMENT (constant gathers
-            # are ~130x slower on TPU)
-            return inner(v, a, m, rs, jnp.asarray(_bitrev_perm(rs.shape[2])))
+            # are ~130x slower on TPU); device copy cached per size so each
+            # dispatch does not re-upload it through the tunnel
+            bl = rs.shape[2]
+            perm = dev_perms.get(bl)
+            if perm is None:
+                perm = jnp.asarray(_bitrev_perm(bl))
+                dev_perms[bl] = perm
+            return inner(v, a, m, rs, perm)
 
         _SCAN_JIT = run
     return _SCAN_JIT
