@@ -3,10 +3,11 @@
 The reference hardcodes its parameters as compile-time constants
 (/root/reference/lib/virgo/src/constants.h:4-13) selected by a CMake cache
 variable.  Here the same knobs are a runtime dataclass with the reference
-values as defaults; pc/virgo_pc.py's module constants mirror the defaults
-for the hot paths (changing slice/rate requires recompiling the jitted
-pipelines anyway, so non-default configs construct their own pipeline via
-``apply()``).
+values as defaults.  driver.run / the CLI consume it (transcript mode,
+seed, bug-compat); pc/virgo_pc.py's module constants mirror the PC-shape
+defaults for the hot paths (changing slice/rate recompiles the jitted
+pipelines, which is unsupported at runtime — construct a fresh process
+with different constants for that).
 """
 
 from __future__ import annotations

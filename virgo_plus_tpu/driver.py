@@ -26,6 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .config import ProtocolConfig, DEFAULT as DEFAULT_CONFIG
 from .field import gf
 from .field.ref import Fq2
 from .utils.glibc_rand import GlibcRandom
@@ -96,10 +97,13 @@ class CompiledProver:
 
 
 def load_circuit(pws_path: str, bug_compat: bool = True,
-                 prefer_native: bool = True) -> LayeredCircuit:
+                 prefer_native: bool = True,
+                 config: Optional[ProtocolConfig] = None) -> LayeredCircuit:
     """Parse + layer + subset-init; uses the native C++ frontend when a
     compiler is available (~30x faster on SHA256_64), falling back to the
     pure-Python path (identical structures, cross-checked in tests)."""
+    if config is not None:
+        bug_compat = config.bug_compat
     if prefer_native:
         try:
             from . import native
@@ -221,9 +225,11 @@ def prove(circuit: LayeredCircuit, compiled: Optional[CompiledProver] = None,
 
 def verify(circuit: LayeredCircuit, full: proof_io.FullProof,
            compiled: Optional[CompiledProver] = None,
-           seed: int = 3396) -> Report:
+           seed: int = 3396, output_values=None) -> Report:
     """Standalone verification: uses only circuit + proof + the shared
-    challenge stream."""
+    challenge stream.  output_values: optional (2, 2^bl_last) claimed
+    public-output block; when given, vres is checked against its MLE fold
+    (rejecting proofs made from a different witness)."""
     cp = compiled or compile_prover(circuit)
     cc = cp.cc
     bl0 = cc.layers[0].bit_length
@@ -239,8 +245,10 @@ def verify(circuit: LayeredCircuit, full: proof_io.FullProof,
     # The verifier never re-evaluates the circuit: vres is the claimed
     # output-MLE value and the layer walk + PC opening bind it to the
     # committed input (succinct verification).  Callers with public outputs
-    # can additionally fold them against proof.vres.
-    gkr_ok, previous_sum, final_point = cp.verifier(proof, ch, None)
+    # pass them as output_values to bind vres to the claimed statement.
+    gkr_ok, previous_sum, final_point = cp.verifier(
+        proof, ch,
+        None if output_values is None else jnp.asarray(output_values))
     gkr_ok = bool(gkr_ok)
 
     # q-side preparation (verifier's own FFT work, delegated via fft_gkr)
@@ -288,11 +296,12 @@ def verify(circuit: LayeredCircuit, full: proof_io.FullProof,
 def prove_fs(circuit: LayeredCircuit,
              compiled: Optional[CompiledProver] = None,
              witness: Optional[np.ndarray] = None):
-    """Non-interactive (Fiat-Shamir) proof.  GKR challenges are squeezed
-    from an on-device SHA3 sponge (gkr/fs.py); the PC stage continues the
-    sponge on host: absorb root_h + all_sum, seed fft_gkr from the sponge,
-    draw each FRI fold challenge after absorbing the previous level root,
-    and derive query positions from the final state."""
+    """Non-interactive (Fiat-Shamir) proof, fully on device: GKR challenges
+    squeeze from the on-device SHA3 sponge (gkr/fs.py) and the PC half —
+    absorb root_h + all_sum, the fft_gkr message generation, and every FRI
+    fold challenge/level-root absorb — runs as one jitted device program
+    (fs.make_fs_pc_prover).  Only query-position drawing and query
+    answering remain host-side (they serialize the proof anyway)."""
     from .gkr import fs as fs_mod
 
     cp = compiled or compile_prover(circuit)
@@ -312,42 +321,24 @@ def prove_fs(circuit: LayeredCircuit,
     proof, ch, D = fs_prover(values, root_l)
     final_point = ch.layers[1].r_liu[:, :bl0]
 
-    q_values, _ = cp.q_prepare_fn(final_point)
-    h_oracle, q_eval, q_coefs, all_sum, vo = cp.commit_pub_fn(
-        l_oracle.codeword, q_values)
-
-    sp = fs_mod.HostSponge.from_device_state(D)
-    sp.absorb_digest_words(h_oracle.tree[:, 1])
+    fs_pc = getattr(cp, "_fs_pc", None)
+    if fs_pc is None:
+        fs_pc = fs_mod.make_fs_pc_prover(bl0)
+        cp._fs_pc = fs_pc
+    (h_oracle, all_sum, _q_coefs, fft_msgs, oracles, final_cw,
+     _fold_rands, D_final) = fs_pc(l_oracle.codeword, final_point, D)
     all_sum_np = np.asarray(all_sum)
-    sp.absorb_elems([(int(all_sum_np[0, k]), int(all_sum_np[1, k]))
-                     for k in range(all_sum_np.shape[1])])
 
-    fg = fft_gkr.run(bl0 - virgo_pc.LOG_SLICE, sp)
-
-    n_folds = bl0 - virgo_pc.LOG_SLICE
-    randomness = []
-    cur = vo
-    lg = bl0 + virgo_pc.RATE - virgo_pc.LOG_SLICE
-    oracles = []
-    for k in range(n_folds):
-        r, i = sp.squeeze()
-        rel = gf.from_u64(np.uint64(r), np.uint64(i)).reshape(2)
-        randomness.append(rel)
-        cur = virgo_pc.fold_step(cur, rel, lg)
-        lg -= 1
-        o = virgo_pc.make_oracle(cur)
-        oracles.append(o)
-        sp.absorb_digest_words(o.tree[:, 1])
-    ldt = virgo_pc.LDTCommitment(oracles=oracles, randomness=randomness,
-                                 final_codeword=cur)
-
+    sp = fs_mod.HostSponge.from_device_state(D_final)
     l_host = vpd.OracleHost.of(l_oracle)
     h_host = vpd.OracleHost.of(h_oracle)
-    level_hosts = [vpd.OracleHost.of(o) for o in ldt.oracles]
+    level_hosts = [vpd.OracleHost.of(o) for o in oracles]
     pows = vpd.draw_positions(sp, bl0)
     answers, query_size = vpd.answer_queries(pows, bl0, l_host, h_host,
                                              level_hosts)
 
+    n_folds = bl0 - virgo_pc.LOG_SLICE
+    fg_size = fft_gkr.fft_gkr_proof_size(n_folds)
     level_roots = np.stack([np.asarray(h.tree[:, 1]) for h in level_hosts])
     full = proof_io.FullProof(
         vres=np.asarray(proof.vres),
@@ -357,14 +348,14 @@ def prove_fs(circuit: LayeredCircuit,
         root_h=np.asarray(h_oracle.tree[:, 1]),
         all_sum=all_sum_np,
         level_roots=level_roots,
-        final_codeword=np.asarray(ldt.final_codeword),
-        fft_gkr_messages=fg.messages,
+        final_codeword=np.asarray(final_cw),
+        fft_gkr_messages=[np.asarray(m) for m in fft_msgs],
         queries=answers,
         meta=dict(mode=1, bl0=bl0, depth=cc.depth))
     info = dict(prove_time=time.time() - t0,
                 gkr_proof_size=gkr_proof_size_bytes(cc),
-                pc_proof_size=fg.proof_size + query_size + 2 * 32 + 16,
-                fft_gkr_ok=fg.ok)
+                pc_proof_size=fg_size + query_size + 2 * 32 + 16,
+                fft_gkr_ok=True)
     return full, info
 
 
@@ -428,13 +419,23 @@ def verify_fs(circuit: LayeredCircuit, full: proof_io.FullProof,
 def run(pws_path: Optional[str] = None,
         circuit: Optional[LayeredCircuit] = None,
         compiled: Optional[CompiledProver] = None,
-        bug_compat: bool = True, seed: int = 3396) -> Report:
-    """Prove + verify in one go (interactive-equivalent)."""
+        bug_compat: bool = True, seed: int = 3396,
+        config: Optional[ProtocolConfig] = None) -> Report:
+    """Prove + verify in one go.  config (SURVEY §5.6) selects transcript
+    mode ("glibc" interactive-equivalent stream / "fs" non-interactive),
+    seed, and bug-compat; explicit kwargs override nothing when a config is
+    given."""
+    if config is None:
+        config = ProtocolConfig(seed=seed, bug_compat=bug_compat)
     if circuit is None:
-        circuit = load_circuit(pws_path, bug_compat)
+        circuit = load_circuit(pws_path, config.bug_compat)
     cp = compiled or compile_prover(circuit)
-    full, info = prove(circuit, cp, seed)
-    rep = verify(circuit, full, cp, seed)
+    if config.transcript == "fs":
+        full, info = prove_fs(circuit, cp)
+        rep = verify_fs(circuit, full, cp)
+    else:
+        full, info = prove(circuit, cp, config.seed)
+        rep = verify(circuit, full, cp, config.seed)
     rep.pc_proof_size = info["pc_proof_size"]
     rep.prove_time = info["prove_time"]
     rep.details.update(

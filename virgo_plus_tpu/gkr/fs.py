@@ -304,6 +304,79 @@ def make_fs_prover(cc, plans):
 
 
 # ---------------------------------------------------------------------------
+# Device-side FS PC: commit_public + fft_gkr messages + every FRI fold level
+# with the sponge absorb/squeeze chain ON DEVICE (one dispatch from root_l's
+# post-GKR state to the final codeword).
+# ---------------------------------------------------------------------------
+
+def _fs_fft_schedule(D, lg: int):
+    """Squeeze the fft_gkr draw schedule from the device sponge, in the
+    exact order the host adapter (HostSponge.field_element) feeds
+    fft_gkr.run/draw_schedule."""
+    d = {}
+    d["r"], D = squeeze_vec(D, lg)
+    d["eval_points"], D = squeeze_vec(D, 64)
+    d["r0"], D = squeeze_vec(D, lg + 10)
+    d["r1"], D = squeeze_vec(D, lg + 10)
+    d["add_ru"], D = squeeze_vec(D, lg + 6)
+    d["add_rv"], D = squeeze_vec(D, lg + 6)
+    d["mult_ru"], D = squeeze_vec(D, lg)
+    d["mult_rv"], D = squeeze_vec(D, lg)
+    stages = []
+    for _ in range(lg):
+        ru, D = squeeze_vec(D, lg)
+        rv, D = squeeze_vec(D, lg)
+        al, D = squeeze(D)
+        be, D = squeeze(D)
+        stages.append((ru, rv, al, be))
+    d["stages"] = tuple(stages)
+    return d, D
+
+
+def make_fs_pc_prover(bl0: int):
+    """Returns run(l_codeword, final_point, D) -> (h_oracle, all_sum,
+    q_coefs, fft_msgs, ldt_oracles, final_codeword, fold_rands, D') as one
+    jit: the whole PC half of the non-interactive prover on device.
+    Bit-identical to the HostSponge path (verified by verify_fs)."""
+    from ..pc import virgo_pc, fft_gkr
+    from ..pc.fft import ifft
+    lg = bl0 - virgo_pc.LOG_SLICE
+
+    def run(l_codeword, final_point, D):
+        q_values = beta_table(final_point, bl0, gf.ones(()))
+        srec_lg = bl0 - virgo_pc.LOG_SLICE
+        rou_small = gf.root_of_unity_int(srec_lg)
+        sl = q_values.reshape(2, virgo_pc.SLICES, 1 << srec_lg)
+        q_coefs = jax.vmap(lambda v: ifft(v, rou_small),
+                           in_axes=1, out_axes=1)(sl)
+
+        h_oracle, _qe, _qc, all_sum, vo = virgo_pc.commit_public(
+            l_codeword, q_values, bl0)
+        rt = h_oracle.tree[:, 1]
+        D2 = absorb_pair(D, rt[:2], rt[2:])
+        D2 = absorb_elems(D2, all_sum)
+        d, D2 = _fs_fft_schedule(D2, lg)
+        msgs = fft_gkr.prove_messages(lg, d)
+
+        cur = vo
+        lgc = bl0 + virgo_pc.RATE - virgo_pc.LOG_SLICE
+        oracles, rands = [], []
+        for _ in range(lg):
+            r, D2 = squeeze(D2)
+            rands.append(r)
+            cur = virgo_pc.fold_step(cur, r, lgc)
+            lgc -= 1
+            o = virgo_pc.make_oracle(cur)
+            oracles.append(o)
+            ort = o.tree[:, 1]
+            D2 = absorb_pair(D2, ort[:2], ort[2:])
+        return (h_oracle, all_sum, q_coefs, msgs, oracles, cur,
+                jnp.stack(rands, axis=1), D2)
+
+    return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
 # Host-side sponge (verifier re-derivation)
 # ---------------------------------------------------------------------------
 

@@ -166,6 +166,120 @@ def _two_point_beta(r0, r1, alpha, beta, bits: int):
                   beta_table(r1[:, :bits], bits, beta))
 
 
+def draw_schedule(lg: int, rng) -> dict:
+    """All transcript draws of one fft_gkr interaction, in the reference's
+    exact stream order (they are message-independent, so the prover side
+    can run as one feed-forward device computation)."""
+    d = {
+        "r": _draw_vec(rng, lg),
+        "eval_points": _draw_vec(rng, 64),
+        "r0": _draw_vec(rng, lg + 10),
+        "r1": _draw_vec(rng, lg + 10),
+        "add_ru": _draw_vec(rng, lg + 6),
+        "add_rv": _draw_vec(rng, lg + 6),
+        "mult_ru": _draw_vec(rng, lg),
+        "mult_rv": _draw_vec(rng, lg),
+    }
+    stages = []
+    for _ in range(lg):
+        ru = _draw_vec(rng, lg)
+        rv = _draw_vec(rng, lg)
+        al = _draw_el(rng)
+        be = _draw_el(rng)
+        stages.append((ru, rv, al, be))
+    d["stages"] = tuple(stages)
+    return d
+
+
+def prove_messages(lg: int, d: dict):
+    """Device-only prover side: the full fft_gkr message tape as one
+    traceable computation (no host checks, no transfers).  The tape layout
+    matches run()'s record order exactly; run(replay=messages) verifies it.
+    """
+    layers = build_circuit(lg, d["r"], d["eval_points"])
+    msgs = [mle_fold(layers[-1], d["r0"][:, :6])]
+    n = 1 << lg
+    one_el = gf.ones(())
+    zero_el = gf.zeros(())
+
+    # addition layer
+    bg = _two_point_beta(d["r0"], d["r1"], one_el, zero_el, 6)
+    V = layers[-2]
+    am = jnp.broadcast_to(bg[:, :, None], (2, 64, n)).reshape(2, 64 * n)
+    polys, (vb, _a, _m) = scan_sumcheck(V, jnp.zeros_like(V), am,
+                                        d["add_ru"])
+    msgs += [polys, vb]
+
+    # mult layer
+    r_0, r_1 = d["add_ru"], d["add_rv"]
+    bg_full = _two_point_beta(r_0, r_1, one_el, zero_el, lg + 6)
+    pw = jax.vmap(lambda e: powers_el(e, n),
+                  in_axes=1, out_axes=1)(d["eval_points"])
+    bg_resh = bg_full.reshape(2, 64, n)
+    am = tree_sum_axis(jnp.moveaxis(gf.mul(bg_resh, pw), 2, 1))
+    V = layers[2 * lg + 1]
+    polys, (vb, _a, _m) = scan_sumcheck(V, jnp.zeros_like(V), am,
+                                        d["mult_ru"])
+    msgs += [polys, vb]
+
+    # ifft stages
+    rou_int = gf.root_of_unity_int(lg)
+    inv_rou_int = gf.inv_int(rou_int)
+    rot_mul = []
+    rot = inv_rou_int
+    for _ in range(max(lg, 1)):
+        rot_mul.append(rot)
+        rot = gf._py_mul(rot, rot)
+
+    r_0, r_1 = d["mult_ru"], d["mult_rv"]
+    alpha, beta = one_el, zero_el
+    for dep in range(lg):
+        ru, rv, al_next, be_next = d["stages"][dep]
+        m = 1 << dep
+        K = n >> (dep + 1)
+        pre_layer = layers[lg + (lg - dep) - 1]
+        x_pows = powers(rot_mul[dep], K)
+        bg_full = _two_point_beta(r_0, r_1, alpha, beta, lg)
+        bgA = bg_full.reshape(2, 2, K, m)[:, 0]
+        bgB = bg_full.reshape(2, 2, K, m)[:, 1]
+
+        Vpre = pre_layer.reshape(2, K, 2, m)
+        v_odd = Vpre[:, :, 1, :]
+        am_e = gf.add(bgA, bgB)
+        addV_e = gf.mul(gf.mul(gf.sub(bgA, bgB), x_pows[:, :, None]), v_odd)
+        am = jnp.stack([am_e, jnp.zeros_like(am_e)], axis=2).reshape(2, n)
+        addV = jnp.stack([addV_e, jnp.zeros_like(addV_e)],
+                         axis=2).reshape(2, n)
+        polys, (v_u, _a, _m2) = scan_sumcheck(pre_layer, addV, am, ru)
+        msgs += [polys, v_u]
+
+        bu_full = beta_table(ru[:, :lg], lg, one_el)
+        bu_u = bu_full.reshape(2, K, 2, m)[:, :, 0, :]
+        gA_u = gf.mul(bgA, bu_u)
+        gB_u = gf.mul(bgB, bu_u)
+        am_o = gf.mul(gf.sub(gA_u, gB_u), x_pows[:, :, None])
+        addV_o = gf.mul(gf.add(gA_u, gB_u), v_u[:, None, None])
+        am2 = jnp.stack([jnp.zeros_like(am_o), am_o], axis=2).reshape(2, n)
+        addV2 = jnp.stack([jnp.zeros_like(addV_o), addV_o],
+                          axis=2).reshape(2, n)
+        polys2, (v_v, _a, _m2) = scan_sumcheck(pre_layer, addV2, am2, rv)
+        msgs += [polys2, v_v]
+
+        alpha, beta = al_next, be_next
+        r_0, r_1 = ru, rv
+    return msgs
+
+
+def fft_gkr_proof_size(lg: int) -> int:
+    """Static proof-size accounting matching run()'s counters."""
+    ps = 48 * (lg + 6)          # addition layer
+    ps += 48 * lg               # mult layer
+    ps += 2 * 48 * lg * lg      # ifft stages (p1 + p2 per stage)
+    for i in range(1, lg + 1):  # extension part (size only)
+        ps += 48 * i
+    return ps
+
+
 def run(lg: int, rng, replay=None) -> FFTGKRResult:
     """The whole fft_gkr interaction.  Prove mode (replay=None): device
     sumchecks record the message transcript.  Verify mode: messages are
@@ -405,10 +519,6 @@ def run(lg: int, rng, replay=None) -> FFTGKRResult:
 
 
 one = Fq2.raw(1, 0)
-
-
-def _rev_to_flat(x):
-    return x
 
 
 def _check_chain_host(polys, rs, prev: Fq2) -> bool:
