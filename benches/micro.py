@@ -1,24 +1,44 @@
-"""Per-kernel micro-benchmarks: field ops/s/chip, hash/s, FFT/s, fold/s.
+"""Per-kernel micro-benchmarks with speed-of-light accounting.
 
 The BASELINE metric asks for "prover field-ops/s/chip" with per-kernel
 speed-of-light accounting; the reference's analogue is
 fieldElement::self_speed_test_{add,mult} (fieldElement.cpp:275-307).
 
-Run on whatever backend is active (TPU by default in this environment):
-    python benches/micro.py
-Prints one JSON object per kernel.
+Each kernel prints one JSON line with its measured throughput plus
+`sol_pct`: achieved time vs the roofline max(compute, memory) time, where
+the compute ceiling uses the kernel's analytic int32-ALU op count (the TPU
+has no 64-bit multiplier; every u64 multiply lowers to 32-bit partial
+products) and the memory ceiling uses bytes moved through HBM.
+
+    python benches/micro.py            # runs on the active backend
 """
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# v5e per-chip roofline constants (public spec: 394 int8 MXU TOPS is not the
+# relevant ceiling here — protocol kernels are VPU/bitwise-bound):
+# VPU: (8, 128) lanes x ~4 int32 ALUs x ~0.94 GHz.
+PEAK_INT32_OPS = 3.85e12
+HBM_BYTES_S = 8.2e11
 
-def bench(name, fn, args, work, unit, iters=50):
+# Analytic int32-op costs of the field kernels as lowered on TPU
+# (field/gf.py): one base-field u64 'mymult' = 4 u32 partial products +
+# ~10 shift/mask/add u64 ops (~2 int32 ops each) ~= 36 int32 ops; a GF(p^2)
+# mul is 3 mymults + ~14 u64 add/fold ops ~= 136; a field add ~= 8.
+OPS_FIELD_MUL = 136
+OPS_FIELD_ADD = 8
+# keccak-f[1600]: 24 rounds x ~76 u64 bit-ops x 2 int32 ops each
+OPS_KECCAK = 24 * 76 * 2
+
+
+def bench(name, fn, args, work, unit, ops=None, bytes_moved=0, iters=50):
     import jax
     r = fn(*args)
     jax.block_until_ready(r)
@@ -27,16 +47,22 @@ def bench(name, fn, args, work, unit, iters=50):
         r = fn(*args)
     jax.block_until_ready(r)
     dt = (time.time() - t) / iters
-    print(json.dumps({"kernel": name, "per_call_ms": round(dt * 1e3, 4),
-                      "throughput": round(work / dt / 1e9, 3),
-                      "unit": unit}))
+    rec = {"kernel": name, "per_call_ms": round(dt * 1e3, 4),
+           "throughput": round(work / dt / 1e9, 3), "unit": unit}
+    if ops is not None and jax.default_backend() != "cpu":
+        t_compute = ops / PEAK_INT32_OPS
+        t_memory = bytes_moved / HBM_BYTES_S
+        rec["sol_ms"] = round(max(t_compute, t_memory) * 1e3, 4)
+        rec["sol_pct"] = round(100 * max(t_compute, t_memory) / dt, 1)
+        rec["bound"] = "memory" if t_memory > t_compute else "compute"
+    print(json.dumps(rec))
 
 
 def main():
     import jax
     import jax.numpy as jnp
     from virgo_plus_tpu.field import gf
-    from virgo_plus_tpu.gkr.sumcheck import scan_sumcheck
+    from virgo_plus_tpu.gkr.sumcheck import scan_sumcheck, ScatterPlan
     from virgo_plus_tpu.pc.keccak import sha3_256_x64
     from virgo_plus_tpu.pc.fft import fft
     from virgo_plus_tpu.pc.virgo_pc import leaf_chain_hash
@@ -59,7 +85,8 @@ def main():
             x = gf.mul(x, b)
         return x
 
-    bench("field_mul (chain of 8 on 2^20)", mul8, (a, b), 8 * n, "Gmul/s")
+    bench("field_mul (chain of 8 on 2^20)", mul8, (a, b), 8 * n, "Gmul/s",
+          ops=8 * n * OPS_FIELD_MUL, bytes_moved=3 * n * 16)
 
     @jax.jit
     def add8(a, b):
@@ -68,26 +95,51 @@ def main():
             x = gf.add(x, b)
         return x
 
-    bench("field_add (chain of 8 on 2^20)", add8, (a, b), 8 * n, "Gadd/s")
+    bench("field_add (chain of 8 on 2^20)", add8, (a, b), 8 * n, "Gadd/s",
+          ops=8 * n * OPS_FIELD_ADD, bytes_moved=3 * n * 16)
 
     bl = 16
     v, ad, m_ = arr(1 << bl), arr(1 << bl), arr(1 << bl)
     rs = arr(bl)
+    # fold round on 2^k half-pairs: 10 field muls + ~12 adds per pair
+    # (sumcheck.py body), summed over rounds of a geometric table
+    fold_pairs = (1 << bl) - 1
     bench("sumcheck_full (2^16, 16 rounds)", jax.jit(scan_sumcheck),
-          (v, ad, m_, rs), 13 * (1 << bl), "Gmul/s")
+          (v, ad, m_, rs), 13 * (1 << bl), "Gmul/s",
+          ops=fold_pairs * (10 * OPS_FIELD_MUL + 12 * OPS_FIELD_ADD),
+          bytes_moved=3 * (1 << bl) * 16 * 2)
 
     w = jnp.asarray(rng.integers(0, 2**63, (8, 1 << 14), dtype=np.uint64))
     bench("sha3_256 (2^14 msgs)", jax.jit(sha3_256_x64), (w,),
-          1 << 14, "Ghash/s")
+          1 << 14, "Ghash/s",
+          ops=(1 << 14) * OPS_KECCAK, bytes_moved=(1 << 14) * (64 + 32))
 
     cw = arr(65 * (1 << 12)).reshape(2, 65, 1 << 12)
     bench("merkle_leaf_chain (65x2^12)", jax.jit(leaf_chain_hash), (cw,),
-          65 * (1 << 11), "Ghash/s")
+          65 * (1 << 11), "Ghash/s",
+          ops=65 * (1 << 11) * OPS_KECCAK,
+          bytes_moved=65 * (1 << 12) * 16 + (1 << 11) * 32)
 
     coef = arr(1 << 13)
     rou = gf.root_of_unity_int(18)
+    # butterflies: order/2 per stage x lg(coef) stages; 1 mul + 2 add each
+    n_bf = (1 << 18) * 13 // 2
     bench("fft (2^13 coef -> 2^18 evals)", jax.jit(lambda c: fft(c, 18, rou)),
-          (coef,), (1 << 18) * 13 // 2, "Gbutterfly/s")
+          (coef,), n_bf, "Gbutterfly/s",
+          ops=n_bf * (OPS_FIELD_MUL + 2 * OPS_FIELD_ADD),
+          bytes_moved=(1 << 18) * 16 * 2 * 13)
+
+    # phase-init scatter (segment sum): Hillis-Steele prefix = lg(N) passes
+    nsc = 1 << 17
+    idx = rng.integers(0, 1 << 16, nsc)
+    plan = ScatterPlan.build(idx, 1 << 16)
+    contrib = arr(nsc)
+    parrs = plan.arrays()
+    f_sc = jax.jit(lambda c_, a_: plan.apply(c_, a_))
+    bench("scatter_segment_sum (2^17 -> 2^16)", f_sc, (contrib, parrs),
+          nsc, "Gcontrib/s",
+          ops=17 * nsc * OPS_FIELD_ADD,
+          bytes_moved=17 * nsc * 16 * 2)
 
 
 if __name__ == "__main__":

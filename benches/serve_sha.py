@@ -10,10 +10,11 @@ counts).  On a pod slice this scales linearly over the 'dp' mesh axis
 """
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

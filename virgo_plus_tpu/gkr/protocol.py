@@ -238,25 +238,67 @@ def prove(cc: CompiledCircuit, plans, values, ch: Challenges,
     return Proof(vres=vres, layers=layer_proofs)
 
 
+BUCKET_MIN_BL = 7    # jobs at or above this size merge into one launch
+BUCKET_MAX_BL = 17   # Pallas kernel ceiling (sumcheck_fold MAX bl)
+
+
 def _apply_grouped(stacked, groups, arrs=None, bounds=False):
     """Trace-inline fold application (used inside the fused prove jit).
+
+    All jobs with bl in [BUCKET_MIN_BL, BUCKET_MAX_BL] zero-pad to the
+    largest such size and fold as ONE batched launch: padded table entries
+    are zero (contributing zero to every round message) and padded rounds
+    use zero challenges (binding keeps the real bound scalar), so messages
+    and bounds are bit-identical while the graph holds a single fold-kernel
+    instantiation instead of one per table size — the per-size instantiation
+    set alone was ~2/3 of a 22 MB fused module (OOM-killing the TPU
+    compile helper).
 
     arrs: the circuit_arrays pytree; its perm{bl} entries feed the Pallas
     kernel's bit-reversal gather as jit ARGUMENTS (a closed-over perm is a
     ~130x slower constant gather on TPU).  Without arrs, falls back to the
     pure-XLA fold."""
     out = {}
-    for bl, job in sorted(stacked.items()):
-        perm = None if arrs is None else arrs.get(f"perm{bl}")
-        if perm is not None:
-            polys, (vb, ab, mb) = scan_sumcheck_auto(*job, perm=perm)
-        else:
-            polys, (vb, ab, mb) = scan_sumcheck_batched_br(*job)
+
+    def emit(bl, polys, vb, ab, mb, k0=0):
         for kk, tag in enumerate(groups[bl]):
+            k = k0 + kk
             if bounds:
-                out[tag] = (polys[:, kk], (vb[:, kk], ab[:, kk], mb[:, kk]))
+                out[tag] = (polys[:bl, k], (vb[:, k], ab[:, k], mb[:, k]))
             else:
-                out[tag] = (polys[:, kk], vb[:, kk])
+                out[tag] = (polys[:bl, k], vb[:, k])
+
+    small = {bl: job for bl, job in stacked.items() if bl < BUCKET_MIN_BL
+             or bl > BUCKET_MAX_BL}
+    big = {bl: job for bl, job in stacked.items()
+           if BUCKET_MIN_BL <= bl <= BUCKET_MAX_BL}
+
+    for bl, job in sorted(small.items()):
+        polys, (vb, ab, mb) = scan_sumcheck_batched_br(*job)
+        emit(bl, polys, vb, ab, mb)
+
+    if big:
+        BL = max(big)
+        n_pad = 1 << BL
+        vs, as_, ms, rss, metas = [], [], [], [], []
+        for bl, (v, a, m, rs) in sorted(big.items()):
+            pad_n = ((0, 0), (0, 0), (0, n_pad - v.shape[2]))
+            pad_r = ((0, 0), (0, 0), (0, BL - bl))
+            vs.append(jnp.pad(v, pad_n))
+            as_.append(jnp.pad(a, pad_n))
+            ms.append(jnp.pad(m, pad_n))
+            rss.append(jnp.pad(rs, pad_r))
+            metas.append((bl, v.shape[1]))
+        V = jnp.concatenate(vs, axis=1)
+        A = jnp.concatenate(as_, axis=1)
+        M = jnp.concatenate(ms, axis=1)
+        RS = jnp.concatenate(rss, axis=1)
+        perm = None if arrs is None else arrs.get(f"perm{BL}")
+        polys, (vb, ab, mb) = scan_sumcheck_auto(V, A, M, RS, perm=perm)
+        k0 = 0
+        for bl, k in metas:
+            emit(bl, polys, vb, ab, mb, k0)
+            k0 += k
     return out
 
 

@@ -1,1 +1,1 @@
-from .field_kernels import fold_bind_pallas  # noqa: F401
+from .sumcheck_fold import scan_sumcheck_batched_pallas  # noqa: F401
