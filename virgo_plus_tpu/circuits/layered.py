@@ -166,6 +166,43 @@ def dag_to_layered(dag: DAG, bug_compat: bool = True) -> LayeredCircuit:
     return LayeredCircuit(layers=layers, input_values=input_vals)
 
 
+def repeat_layers(c: LayeredCircuit, repeat: int) -> LayeredCircuit:
+    """Replicate every non-input layer's gates `repeat` times
+    (main.cpp:8,114-131 — dead in the reference: const repeat = 1, and its
+    loop body both aliases a vector reference across push_back (UB) and
+    offsets wire ids by the *consuming* layer's size).  This implements the
+    evident intent with correct offsets: replica j of a gate reads replica
+    j of its source layers — u += j * size(i-1) for i > 1, v += j * size(l)
+    for l >= 1; the input layer is shared by all replicas (as in the
+    reference, which replicates "except the input")."""
+    if repeat <= 1:
+        return c
+    sizes = [L.size for L in c.layers]
+    out = [c.layers[0]]
+    for i in range(1, c.size):
+        L = c.layers[i]
+        reps = []
+        for j in range(repeat):
+            u = L.u.copy()
+            if i > 1:
+                u += j * sizes[i - 1]
+            src_sizes = np.array(sizes, np.int64)[np.maximum(L.l, 0)]
+            v = L.v + np.where(L.l >= 1, j * src_sizes, 0)
+            reps.append((L.ty, u, v, L.l, L.c_real, L.c_img, L.is_assert))
+        new_size = L.size * repeat
+        out.append(Layer(
+            ty=np.concatenate([r[0] for r in reps]),
+            u=np.concatenate([r[1] for r in reps]),
+            v=np.concatenate([r[2] for r in reps]),
+            l=np.concatenate([r[3] for r in reps]),
+            lv=np.zeros(new_size, np.int64),
+            c_real=np.concatenate([r[4] for r in reps]),
+            c_img=np.concatenate([r[5] for r in reps]),
+            is_assert=np.concatenate([r[6] for r in reps]),
+            size=new_size, bit_length=_bit_length(new_size)))
+    return LayeredCircuit(layers=out, input_values=c.input_values)
+
+
 def check_bug_compat_contained(c: LayeredCircuit) -> bool:
     """True iff every bug-compat Not/Copy left-input raw id is still within
     the previous layer's value table (2^bit_length entries) — i.e. the

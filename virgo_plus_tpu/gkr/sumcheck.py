@@ -150,9 +150,11 @@ def scan_sumcheck(v, a, m, rs):
 
 
 def eval_quad(poly, x):
-    """poly (2,3) [a,b,c]; x (2,) -> ((a*x)+b)*x + c."""
-    return gf.add(gf.mul(gf.add(gf.mul(poly[:, 0], x), poly[:, 1]), x),
-                  poly[:, 2])
+    """poly (2,3) [a,b,c]; x (2,) -> ((a*x)+b)*x + c.  The degree-2 case of
+    the generic dense-poly Horner (gkr/polynomial.py, the reference's
+    quadratic_poly::eval, src/polynomial.cpp)."""
+    from .polynomial import eval_at
+    return eval_at(poly, x)
 
 
 def quad_at_0_plus_1(poly):
