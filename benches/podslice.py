@@ -1,0 +1,75 @@
+"""Pod-slice dryrun (BASELINE config #5): full sharded prove on a CPU mesh.
+
+Runs the composed multi-chip prove (sharded GKR bookkeeping tables +
+sharded PC with strided codewords, parallel/gkr_sharded.prove_sharded) on
+an 8-virtual-device CPU mesh at a configurable circuit size, printing the
+per-device protocol-array footprint and asserting the Merkle roots equal
+the single-chip prover's (bit-exact).  See PODSLICE.md for the 2^26 /
+v5e-16 memory plan this validates in miniature.
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python benches/podslice.py [layers] [bits]
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(layers=4, bits=9):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from jax.sharding import Mesh
+    from virgo_plus_tpu import driver
+    from virgo_plus_tpu.circuits.layered import randomize, subset_init
+    from virgo_plus_tpu.parallel.gkr_sharded import prove_sharded
+    from virgo_plus_tpu.pc.virgo_pc import RATE, LOG_SLICE
+
+    S = 8
+    mesh = Mesh(np.array(jax.devices()[:S]), ("sp",))
+    c = randomize(layers, bits, seed=9)
+    subset_init(c)
+
+    bl0 = bits
+    ss = 1 << (bl0 + RATE - LOG_SLICE)
+    table_b = 3 * 2 * (1 << bits) * 8 // S          # V/addV/mult slices
+    cw_b = 2 * 65 * ss * 8 // S                     # one codeword, strided
+
+    t0 = time.time()
+    full_sh, info = prove_sharded(c, mesh, "sp")
+    dt = time.time() - t0
+
+    cp = driver.compile_prover(c)
+    full_ref, _ = driver.prove(c, cp)
+    assert np.array_equal(full_sh.root_l, full_ref.root_l)
+    assert np.array_equal(full_sh.root_h, full_ref.root_h)
+    assert np.array_equal(full_sh.level_roots, full_ref.level_roots)
+    rep = driver.verify(c, full_sh, cp)
+    assert rep.ok
+
+    print(json.dumps({
+        "metric": "podslice_dryrun_sharded_prove",
+        "devices": S,
+        "gates": (layers - 1) * (1 << bits),
+        "per_device_sumcheck_bytes": table_b,
+        "per_device_codeword_bytes": cw_b,
+        "prove_wall_s": round(dt, 3),
+        "roots_bit_exact": True,
+        "verified": bool(rep.ok),
+    }))
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)

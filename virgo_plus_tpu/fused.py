@@ -35,12 +35,17 @@ from .pc.fft import ifft
 def prove_e2e(cc: CompiledCircuit, plans, inputs, ch, fold_rands, arrs):
     """Traceable full prove.  fold_rands: tuple of (2,) fold challenges.
 
+    All codewords (l, h, every LDT fold level) are computed FIRST, then all
+    leaf chains and Merkle trees hash as one batch (make_oracles_batched) —
+    the 65-step chains and tree levels are latency-bound, so hashing nine
+    oracles costs one oracle's sequential depth.
+
     Returns (proof, l_oracle, h_oracle, all_sum, q_coefs, ldt)."""
     bl0 = cc.layers[0].bit_length
     values = evaluate(cc, inputs, arrs)
     proof = protocol.prove(cc, plans, values, ch, arrs)
 
-    l_oracle, _l_coefs = virgo_pc.commit_private(inputs, bl0)
+    l_eval, _l_coefs = virgo_pc._slice_encode(inputs, bl0)
 
     final_point = ch.layers[1].r_liu[:, :bl0]
     q_values = beta_table(final_point, bl0, gf.ones(()))
@@ -49,9 +54,14 @@ def prove_e2e(cc: CompiledCircuit, plans, inputs, ch, fold_rands, arrs):
     sl = q_values.reshape(2, virgo_pc.SLICES, 1 << srec_lg)
     q_coefs = jax.vmap(lambda v: ifft(v, rou_small), in_axes=1, out_axes=1)(sl)
 
-    h_oracle, _q_eval, _q_coefs2, all_sum, vo = virgo_pc.commit_public(
-        l_oracle.codeword, q_values, bl0)
-    ldt = virgo_pc.commit_phase(vo, bl0, list(fold_rands))
+    h_full, _q_eval, _q_coefs2, all_sum, vo = virgo_pc.commit_public_eval(
+        l_eval, q_values, bl0)
+    cws = virgo_pc.fold_codewords(vo, bl0, list(fold_rands))
+    oracles = virgo_pc.make_oracles_batched([l_eval, h_full] + cws)
+    l_oracle, h_oracle = oracles[0], oracles[1]
+    ldt = virgo_pc.LDTCommitment(oracles=oracles[2:],
+                                 randomness=list(fold_rands),
+                                 final_codeword=cws[-1])
     return proof, l_oracle, h_oracle, all_sum, q_coefs, ldt
 
 

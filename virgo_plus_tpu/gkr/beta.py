@@ -25,3 +25,17 @@ def beta_table(r, bit_length: int, init):
         lo = gf.sub(out, hi)
         out = jnp.concatenate([lo, hi], axis=1)
     return out
+
+
+def beta_tables_batched(rs, bit_length: int, inits):
+    """K same-size tables in one doubling loop (the prover builds ~100
+    beta tables per proof; per-table loops are op-dispatch-bound).
+    rs: (2, K, >=bit_length); inits: (2, K) -> (2, K, 2^bit_length),
+    bit-identical to per-table beta_table."""
+    out = inits[:, :, None]
+    for j in range(bit_length):
+        rj = rs[:, :, j:j + 1]
+        hi = gf.mul(out, rj)
+        lo = gf.sub(out, hi)
+        out = jnp.concatenate([lo, hi], axis=2)
+    return out

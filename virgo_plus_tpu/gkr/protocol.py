@@ -25,10 +25,11 @@ import jax.numpy as jnp
 
 from ..field import gf
 from ..utils.glibc_rand import GlibcRandom
-from .beta import beta_table
-from .sumcheck import (ScatterPlan, scan_sumcheck, scan_sumcheck_batched,
-                       scan_sumcheck_batched_br, scan_sumcheck_auto,
-                       eval_quad, quad_at_0_plus_1, mle_fold, tree_sum)
+from .beta import beta_table, beta_tables_batched
+from .sumcheck import (ScatterPlan, concat_scatter_plans, scan_sumcheck,
+                       scan_sumcheck_batched, scan_sumcheck_batched_br,
+                       scan_sumcheck_auto, eval_quad, quad_at_0_plus_1,
+                       mle_fold, tree_sum)
 from ..circuits.compile import CompiledCircuit
 
 MOD = gf.MOD
@@ -98,13 +99,51 @@ class LayerPlans:
     liu_plan: Optional[ScatterPlan]
 
 
+def _inits_layout(cc, plans):
+    """Static block layout of the fused phase-1 + Liu init scatter:
+    (kind, layer, in_len, out_len) in a fixed order shared between the
+    combined-plan build and the contribution concat."""
+    blocks = []
+    for i in range(cc.depth - 1, 0, -1):
+        L = cc.layers[i]
+        P = plans[i]
+        pre_padded = cc.layers[i - 1].padded
+        blocks.append(("add", i, L.size, pre_padded))
+        blocks.append(("mult", i, L.size, pre_padded))
+        if P.liu_plan is not None:
+            n_in = sum(ds for (_j, ds, _b, _o) in P.liu_consumers)
+            blocks.append(("liu", i, n_in, pre_padded))
+    return blocks
+
+
+def _p2_layout(cc, plans):
+    blocks = []
+    for i in range(cc.depth - 1, 0, -1):
+        L = cc.layers[i]
+        if L.max_dad_bit_length < 0:
+            continue
+        blocks.append(("p2a", i, L.size, L.dad_padded_total))
+        blocks.append(("p2m", i, L.size, L.dad_padded_total))
+    return blocks
+
+
+def _fused_plan(blocks, plans):
+    pls = []
+    for kind, i, n_in, _out in blocks:
+        P = plans[i]
+        pls.append(P.liu_plan if kind == "liu" else
+                   P.p2 if kind in ("p2a", "p2m") else P.p1)
+    return concat_scatter_plans(pls, [b[2] for b in blocks])
+
+
 def circuit_arrays(cc: CompiledCircuit, plans) -> dict:
     """All large per-layer index/coefficient arrays as one pytree, passed
     into the staged jits as ARGUMENTS (closure capture would inline them as
     dense constants — multi-MB MLIR, TPU compile-helper OOM).  Includes the
     bit-reversal permutations for every fold size so the Pallas fold kernel
     can run inside a fused jit (a closed-over perm becomes a ~130x slower
-    constant gather)."""
+    constant gather), and the FUSED init-scatter plans (all layers' phase
+    inits as ONE prefix-sum pass each for p1+liu and p2)."""
     from .sumcheck import _bitrev_perm
     arrs = {}
     fold_bls = set()
@@ -114,18 +153,18 @@ def circuit_arrays(cc: CompiledCircuit, plans) -> dict:
         arrs[f"x{i}"] = L.x_idx
         arrs[f"y{i}"] = L.y_idx
         arrs[f"co{i}"] = L.coeff
-        arrs[f"p1_{i}"] = P.p1.arrays()
         fold_bls.add(cc.layers[i - 1].bit_length)
         if P.p2 is not None:
-            arrs[f"p2_{i}"] = P.p2.arrays()
             arrs[f"dg{i}"] = jnp.clip(L.dad_gather_idx, 0)
             arrs[f"dgm{i}"] = jnp.asarray(
                 np.asarray(L.dad_gather_idx) >= 0)[None, :]
             for li in range(i):
                 if L.dad_sizes[li] > 0:
                     fold_bls.add(L.dad_bls[li])
-        if P.liu_plan is not None:
-            arrs[f"liu_{i}"] = P.liu_plan.arrays()
+    arrs["initsP"] = _fused_plan(_inits_layout(cc, plans), plans).arrays()
+    p2_blocks = _p2_layout(cc, plans)
+    if p2_blocks:
+        arrs["p2P"] = _fused_plan(p2_blocks, plans).arrays()
     for bl in fold_bls:
         arrs[f"perm{bl}"] = jnp.asarray(_bitrev_perm(bl))
     return arrs
@@ -188,6 +227,23 @@ def _values_block(cc, values, i):
     return values[:, off:off + cc.layers[i].padded]
 
 
+def _batched_betas(jobs):
+    """jobs: {tag: (r (2, >=bl), bl, init (2,))} -> {tag: (2, 2^bl)}.
+    One doubling loop per DISTINCT bl (beta_tables_batched) instead of one
+    per table — the ~100 per-proof beta builds are op-dispatch-bound."""
+    groups = {}
+    for tag, (_r, bl, _init) in jobs.items():
+        groups.setdefault(bl, []).append(tag)
+    out = {}
+    for bl, tags in sorted(groups.items()):
+        rs = jnp.stack([jobs[t][0][:, :bl] for t in tags], axis=1)
+        inits = jnp.stack([jobs[t][2] for t in tags], axis=1)
+        tbl = beta_tables_batched(rs, bl, inits)
+        for k, t in enumerate(tags):
+            out[t] = tbl[:, k]
+    return out
+
+
 def _scale_beta_asserts(cc, i, bg, assert_r):
     L = cc.layers[i]
     if not L.has_assert:
@@ -221,12 +277,29 @@ def prove(cc: CompiledCircuit, plans, values, ch: Challenges,
     if arrs is None:
         arrs = circuit_arrays(cc, plans)
     vres, p1_stacked, liu_stacked = _prove_inits(cc, plans, values, ch, arrs)
-    p1_res = _apply_grouped(p1_stacked, p1_groups, arrs)
+    # p1 and Liu tables are both ready after the inits, so same-size jobs
+    # from BOTH phases merge into one fold launch (half the kernel launches)
+    m_stacked, m_groups = {}, {}
+    for bl in sorted(set(p1_stacked) | set(liu_stacked)):
+        parts, tags = [], []
+        if bl in p1_stacked:
+            parts.append(p1_stacked[bl])
+            tags += [("p1", i) for i in p1_groups[bl]]
+        if bl in liu_stacked:
+            parts.append(liu_stacked[bl])
+            tags += [("liu", i) for i in p1_groups[bl]]
+        m_stacked[bl] = tuple(
+            jnp.concatenate([p[k] for p in parts], axis=1) for k in range(4))
+        m_groups[bl] = tags
+    m_res = _apply_grouped(m_stacked, m_groups, arrs)
+    p1_res = {i: m_res[("p1", i)] for bl in p1_stacked
+              for i in p1_groups[bl]}
+    liu_res = {i: m_res[("liu", i)] for bl in liu_stacked
+               for i in p1_groups[bl]}
     claims = {i: p1_res[i][1] for i in p1_res}
     p2_stacked = _prove_p2_inits(cc, plans, values, ch, claims, arrs)
     p2_scan = _apply_grouped(p2_stacked, p2_groups, arrs, bounds=True)
     p2_out = _prove_p2_combine(cc, ch, p2_scan)
-    liu_res = _apply_grouped(liu_stacked, p1_groups, arrs)
 
     layer_proofs: List[Optional[LayerProof]] = [None] * depth
     for i in range(depth - 1, 0, -1):
@@ -534,12 +607,19 @@ def _unstack(raw, groups, bounds=False):
 
 
 def _prove_inits(cc, plans, values, ch, arrs):
-    """Stage 1: vres + phase-1 and Liu table inits for every layer."""
+    """Stage 1: vres + phase-1 and Liu table inits for every layer.
+
+    All gate scatters (add/mult contributions of every layer plus every
+    Liu consumer part) run as ONE fused segment-sum (concat_scatter_plans)
+    — a single prefix-sum pass instead of ~3 per layer."""
     depth = cc.depth
     one = gf.ones(())
     vres = mle_fold(_values_block(cc, values, depth - 1), ch.r_out)
-    p1_jobs = {}
-    liu_jobs = {}
+
+    blocks = _inits_layout(cc, plans)
+
+    # pass 1: every beta table this stage needs, batched by size
+    beta_jobs = {}
     for i in range(depth - 1, 0, -1):
         L = cc.layers[i]
         P = plans[i]
@@ -547,36 +627,62 @@ def _prove_inits(cc, plans, values, ch, arrs):
         bl_prev = cc.layers[i - 1].bit_length
         r_cur = (ch.r_out if i == depth - 1
                  else ch.layers[i + 1].r_liu[:, :L.bit_length])
-        bg_full = beta_table(r_cur, L.bit_length, one)
-        bg_full = _scale_beta_asserts(cc, i, bg_full, chl.assert_r)
+        beta_jobs[("bg", i)] = (r_cur, L.bit_length, one)
+        sig = chl.sig
+        beta_jobs[("bsig", i)] = (chl.r_u, bl_prev, sig[:, 0])
+        if P.liu_plan is not None:
+            for (j, ds, bl_jl, off) in P.liu_consumers:
+                beta_jobs[("bt", i, j)] = (ch.layers[j].r_v, bl_jl,
+                                           sig[:, j - i + 1])
+    betas = _batched_betas(beta_jobs)
+
+    contribs = {}
+    multL_base = {}
+    for i in range(depth - 1, 0, -1):
+        L = cc.layers[i]
+        P = plans[i]
+        chl = ch.layers[i]
+        bg_full = _scale_beta_asserts(cc, i, betas[("bg", i)], chl.assert_r)
         bg = bg_full[:, :L.size]
         y = values[:, arrs[f"y{i}"]]
         co = arrs[f"co{i}"]
         A, B, C, D = co[0], co[1], co[2], co[3]
-        add_c = gf.mul(bg, gf.add(gf.mul(B, y), D))
-        mult_c = gf.mul(bg, gf.add(A, gf.mul(C, y)))
-        p1_jobs.setdefault(bl_prev, []).append(
-            (_values_block(cc, values, i - 1),
-             P.p1.apply(add_c, arrs[f"p1_{i}"]),
-             P.p1.apply(mult_c, arrs[f"p1_{i}"]), chl.r_u[:, :bl_prev]))
-        sig = chl.sig
-        bsig = beta_table(chl.r_u[:, :bl_prev], bl_prev, sig[:, 0])
+        contribs[("add", i)] = gf.mul(bg, gf.add(gf.mul(B, y), D))
+        contribs[("mult", i)] = gf.mul(bg, gf.add(A, gf.mul(C, y)))
         pre_size = cc.layers[i - 1].size
-        multL = jnp.pad(bsig[:, :pre_size],
-                        ((0, 0), (0, cc.layers[i - 1].padded - pre_size)))
+        multL_base[i] = jnp.pad(
+            betas[("bsig", i)][:, :pre_size],
+            ((0, 0), (0, cc.layers[i - 1].padded - pre_size)))
         if P.liu_plan is not None:
-            parts = []
-            for (j, ds, bl_jl, off) in P.liu_consumers:
-                ch_j = ch.layers[j]
-                bt = beta_table(ch_j.r_v[:, :bl_jl], bl_jl,
-                                sig[:, j - i + 1])
-                parts.append(bt[:, :ds])
-            multL = gf.add(multL,
-                           P.liu_plan.apply(jnp.concatenate(parts, axis=1),
-                                            arrs[f"liu_{i}"]))
+            parts = [betas[("bt", i, j)][:, :ds]
+                     for (j, ds, bl_jl, off) in P.liu_consumers]
+            contribs[("liu", i)] = jnp.concatenate(parts, axis=1)
+
+    from .sumcheck import apply_scatter_arrays
+    fused = apply_scatter_arrays(
+        jnp.concatenate([contribs[(k, i)] for (k, i, _n, _o) in blocks],
+                        axis=1), arrs["initsP"])
+    slices = {}
+    off = 0
+    for (k, i, _n, out_len) in blocks:
+        slices[(k, i)] = fused[:, off:off + out_len]
+        off += out_len
+
+    p1_jobs = {}
+    liu_jobs = {}
+    for i in range(depth - 1, 0, -1):
+        P = plans[i]
+        chl = ch.layers[i]
+        bl_prev = cc.layers[i - 1].bit_length
+        vloc = _values_block(cc, values, i - 1)
+        p1_jobs.setdefault(bl_prev, []).append(
+            (vloc, slices[("add", i)], slices[("mult", i)],
+             chl.r_u[:, :bl_prev]))
+        multL = multL_base[i]
+        if P.liu_plan is not None:
+            multL = gf.add(multL, slices[("liu", i)])
         liu_jobs.setdefault(bl_prev, []).append(
-            (_values_block(cc, values, i - 1), jnp.zeros_like(multL),
-             multL, chl.r_liu[:, :bl_prev]))
+            (vloc, jnp.zeros_like(multL), multL, chl.r_liu[:, :bl_prev]))
     return (vres, _stack_jobs(p1_jobs), _stack_jobs(liu_jobs))
 
 
@@ -587,38 +693,66 @@ def _stack_jobs(jobs):
 
 
 def _prove_p2_inits(cc, plans, values, ch, claims, arrs):
-    """Stage 2: phase-2 scatter inits (needs phase-1 claims)."""
+    """Stage 2: phase-2 scatter inits (needs phase-1 claims).  All layers'
+    addV/multV scatters fuse into ONE segment-sum pass."""
+    from .sumcheck import apply_scatter_arrays
     one = gf.ones(())
+    blocks = _p2_layout(cc, plans)
+    if not blocks:
+        return {}
+    beta_jobs = {}
+    for i in range(cc.depth - 1, 0, -1):
+        L = cc.layers[i]
+        if L.max_dad_bit_length < 0:
+            continue
+        chl = ch.layers[i]
+        bl_prev = cc.layers[i - 1].bit_length
+        r_cur = (ch.r_out if i == cc.depth - 1
+                 else ch.layers[i + 1].r_liu[:, :L.bit_length])
+        beta_jobs[("bg", i)] = (r_cur, L.bit_length, one)
+        beta_jobs[("bu", i)] = (chl.r_u, bl_prev, one)
+    betas = _batched_betas(beta_jobs)
+
+    contribs = {}
+    for i in range(cc.depth - 1, 0, -1):
+        L = cc.layers[i]
+        if L.max_dad_bit_length < 0:
+            continue
+        chl = ch.layers[i]
+        claim_u = claims[i]
+        bg_full = _scale_beta_asserts(cc, i, betas[("bg", i)], chl.assert_r)
+        bg = bg_full[:, :L.size]
+        co = arrs[f"co{i}"]
+        A, B, C, D = co[0], co[1], co[2], co[3]
+        tmp_g = gf.mul(bg, betas[("bu", i)][:, arrs[f"x{i}"]])
+        cu = claim_u[:, None]
+        contribs[("p2a", i)] = gf.mul(tmp_g, gf.add(gf.mul(A, cu), D))
+        contribs[("p2m", i)] = gf.mul(tmp_g, gf.add(B, gf.mul(C, cu)))
+
+    fused = apply_scatter_arrays(
+        jnp.concatenate([contribs[(k, i)] for (k, i, _n, _o) in blocks],
+                        axis=1), arrs["p2P"])
+    slices = {}
+    off = 0
+    for (k, i, _n, out_len) in blocks:
+        slices[(k, i)] = fused[:, off:off + out_len]
+        off += out_len
+
     p2_jobs = {}
     for i in range(cc.depth - 1, 0, -1):
         L = cc.layers[i]
         if L.max_dad_bit_length < 0:
             continue
-        P = plans[i]
         chl = ch.layers[i]
-        bl_prev = cc.layers[i - 1].bit_length
-        claim_u = claims[i]
-        r_cur = (ch.r_out if i == cc.depth - 1
-                 else ch.layers[i + 1].r_liu[:, :L.bit_length])
-        bg_full = beta_table(r_cur, L.bit_length, one)
-        bg_full = _scale_beta_asserts(cc, i, bg_full, chl.assert_r)
-        bg = bg_full[:, :L.size]
-        co = arrs[f"co{i}"]
-        A, B, C, D = co[0], co[1], co[2], co[3]
-        beta_u = beta_table(chl.r_u[:, :bl_prev], bl_prev, one)
-        tmp_g = gf.mul(bg, beta_u[:, arrs[f"x{i}"]])
-        cu = claim_u[:, None]
-        addV = P.p2.apply(gf.mul(tmp_g, gf.add(gf.mul(A, cu), D)),
-                          arrs[f"p2_{i}"])
-        multV = P.p2.apply(gf.mul(tmp_g, gf.add(B, gf.mul(C, cu))),
-                           arrs[f"p2_{i}"])
+        addV = slices[("p2a", i)]
+        multV = slices[("p2m", i)]
         vdad = jnp.where(arrs[f"dgm{i}"], values[:, arrs[f"dg{i}"]], 0)
         for li in range(i):
             if L.dad_sizes[li] == 0:
                 continue
             bl_l = L.dad_bls[li]
-            off = L.dad_offsets[li]
-            sl = slice(off, off + (1 << bl_l))
+            off_l = L.dad_offsets[li]
+            sl = slice(off_l, off_l + (1 << bl_l))
             p2_jobs.setdefault(bl_l, []).append(
                 (vdad[:, sl], addV[:, sl], multV[:, sl],
                  chl.r_v[:, :bl_l]))

@@ -84,17 +84,48 @@ class ScatterPlan:
         graph as multi-MB dense constants, which bloats MLIR modules enough
         to OOM the TPU compile helper; argument-passing keeps modules
         small."""
-        if arrs is not None:
-            perm, starts, ends = arrs
-        else:
-            perm, starts, ends = self.perm, self.starts, self.ends
-        s = prefix_sum(values[:, perm])
-        s0 = jnp.concatenate([jnp.zeros((2, 1), jnp.uint64), s], axis=1)
-        return gf.sub(s0[:, ends], s0[:, starts])
+        if arrs is None:
+            arrs = (self.perm, self.starts, self.ends)
+        return apply_scatter_arrays(values, arrs)
 
     def arrays(self):
         return (jnp.asarray(self.perm), jnp.asarray(self.starts),
                 jnp.asarray(self.ends))
+
+
+def apply_scatter_arrays(values, arrs):
+    """Segment-sum scatter from (perm, starts, ends) device arrays:
+    values (2, N) contributions -> (2, out_size) exact field sums."""
+    perm, starts, ends = arrs
+    s = prefix_sum(values[:, perm])
+    s0 = jnp.concatenate([jnp.zeros((2, 1), jnp.uint64), s], axis=1)
+    return gf.sub(s0[:, ends], s0[:, starts])
+
+
+def concat_scatter_plans(plans, in_sizes):
+    """Fuse many ScatterPlans into ONE (for a single prefix-sum pass).
+
+    plans[k] scatters a contribution block of length in_sizes[k] into its
+    own destination range; the fused plan scatters the CONCATENATED
+    contribution vector into the concatenated destination vector.  Segment
+    sums are start/end differences of the inclusive prefix, so prefix mass
+    crossing block boundaries cancels exactly — results are bit-identical
+    to applying each plan separately, at 1/K the pass count.
+    """
+    perms, starts, ends = [], [], []
+    in_off = 0
+    perm_off = 0
+    for pl, n_in in zip(plans, in_sizes):
+        perms.append(pl.perm.astype(np.int64) + in_off)
+        starts.append(pl.starts.astype(np.int64) + perm_off)
+        ends.append(pl.ends.astype(np.int64) + perm_off)
+        in_off += n_in
+        perm_off += len(pl.perm)
+    return ScatterPlan(
+        perm=np.concatenate(perms).astype(np.int32),
+        starts=np.concatenate(starts).astype(np.int32),
+        ends=np.concatenate(ends).astype(np.int32),
+        out_size=sum(pl.out_size for pl in plans))
 
 
 # ---------------------------------------------------------------------------

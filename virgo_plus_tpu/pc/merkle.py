@@ -45,6 +45,37 @@ def create_tree(leaves):
     return jnp.concatenate(parts, axis=1)
 
 
+def create_trees_batched(leaves_list):
+    """Build many Merkle trees TOGETHER: every loop iteration hashes the
+    current level of every still-active tree in one sha3 call, so a forest
+    of K trees costs max-depth sequential hash steps instead of the sum of
+    depths (the per-level keccak dispatch is latency-bound at these widths,
+    not throughput-bound).  Bit-identical to create_tree per tree.
+
+    leaves_list: [(4, N_k)] -> [(4, 2*N_k)] heap-layout trees."""
+    k = len(leaves_list)
+    levels = [[lv] for lv in leaves_list]   # per tree, levels bottom-up
+    cur = list(leaves_list)
+    while True:
+        active = [t for t in range(k) if cur[t].shape[1] > 1]
+        if not active:
+            break
+        parts = [jnp.concatenate([cur[t][:, 0::2], cur[t][:, 1::2]], axis=0)
+                 for t in active]
+        widths = [p.shape[1] for p in parts]
+        h = sha3_256_x64(jnp.concatenate(parts, axis=1))
+        off = 0
+        for t, w in zip(active, widths):
+            cur[t] = h[:, off:off + w]
+            levels[t].append(cur[t])
+            off += w
+    trees = []
+    for t in range(k):
+        parts = [jnp.zeros((4, 1), jnp.uint64)] + levels[t][::-1]
+        trees.append(jnp.concatenate(parts, axis=1))
+    return trees
+
+
 def root_of(tree):
     return tree[:, 1]
 

@@ -102,6 +102,36 @@ def make_oracle(codeword) -> Oracle:
     return Oracle(codeword=codeword, leaves=leaves, tree=tree)
 
 
+def make_oracles_batched(codewords) -> List[Oracle]:
+    """Hash MANY oracles together: all leaf chains concatenate along the
+    lane axis into one 65-step chain (the chain is latency-bound — 65
+    sequential keccaks regardless of width), and all trees build as one
+    forest (merkle.create_trees_batched).  Bit-identical to make_oracle
+    per codeword; ~K x fewer sequential hash steps for K oracles."""
+    from .merkle import create_trees_batched
+    halves = [cw.shape[2] // 2 for cw in codewords]
+    xs_parts = []
+    for cw in codewords:
+        x = cw[:, :, :cw.shape[2] // 2]
+        y = cw[:, :, cw.shape[2] // 2:]
+        xs_parts.append(jnp.stack([x[0], x[1], y[0], y[1]], axis=1))
+    xs = jnp.concatenate(xs_parts, axis=2)        # (65, 4, sum_half)
+
+    def body(state, sl):
+        return sha3_256_x64(jnp.concatenate([sl, state], axis=0)), None
+
+    state0 = jnp.zeros((4, xs.shape[2]), jnp.uint64)
+    all_leaves, _ = jax.lax.scan(body, state0, xs)
+    leaves_list = []
+    off = 0
+    for h in halves:
+        leaves_list.append(all_leaves[:, off:off + h])
+        off += h
+    trees = create_trees_batched(leaves_list)
+    return [Oracle(codeword=cw, leaves=lv, tree=tr)
+            for cw, lv, tr in zip(codewords, leaves_list, trees)]
+
+
 def commit_private(values, bl: int):
     """poly_commit.h:41-124 + fri::request_init_commit(bl, 0).
     Returns (Oracle, l_coefs) — root is oracle.tree[:, 1]."""
@@ -109,12 +139,12 @@ def commit_private(values, bl: int):
     return make_oracle(l_eval), l_coefs
 
 
-def commit_public(l_eval, q_values, bl: int):
-    """poly_commit.h:126-349: encode the public (beta) array, build the
-    aggregated virtual oracle and the h oracle.
+def commit_public_eval(l_eval, q_values, bl: int):
+    """poly_commit.h:126-349 compute half (no hashing): encode the public
+    (beta) array, build the aggregated virtual oracle and the h codeword.
 
-    Returns (h_oracle, q_eval (2,65,ss), q_coefs, all_sum (2,65),
-             virtual_oracle (2,65,ss), lq_h0 diagnostics)."""
+    Returns (h_codeword (2,65,ss), q_eval, q_coefs, all_sum (2,65),
+             virtual_oracle (2,65,ss))."""
     srec = 1 << (bl - LOG_SLICE)
     lg_ss = bl + RATE - LOG_SLICE
     ss = 1 << lg_ss
@@ -153,8 +183,15 @@ def commit_public(l_eval, q_values, bl: int):
 
     h_full = jnp.concatenate(
         [h_eval, jnp.zeros((2, 1, ss), jnp.uint64)], axis=1)
-    h_oracle = make_oracle(h_full)
-    return h_oracle, q_eval, q_coefs, all_sum, vo
+    return h_full, q_eval, q_coefs, all_sum, vo
+
+
+def commit_public(l_eval, q_values, bl: int):
+    """commit_public_eval + the h-oracle hash (poly_commit.h:342).
+    Returns (h_oracle, q_eval, q_coefs, all_sum, virtual_oracle)."""
+    h_full, q_eval, q_coefs, all_sum, vo = commit_public_eval(
+        l_eval, q_values, bl)
+    return make_oracle(h_full), q_eval, q_coefs, all_sum, vo
 
 
 def fold_step(codeword, r, lg_n: int):
@@ -181,17 +218,26 @@ class LDTCommitment:
     final_codeword: jnp.ndarray  # (2, 65, 2^RATE) last level codeword
 
 
-def commit_phase(vo, bl: int, randomness: List) -> LDTCommitment:
-    """vpd_verifier.cpp:44-74: fold the virtual oracle until each slice is
-    <= 2^RATE, committing every level.  randomness: list of (2,) arrays of
-    length bl - LOG_SLICE."""
+def fold_codewords(vo, bl: int, randomness: List):
+    """All LDT fold-level codewords (no hashing): vo folded until each
+    slice is <= 2^RATE (vpd_verifier.cpp:44-74)."""
     lg = bl + RATE - LOG_SLICE
     cur = vo
-    oracles = []
+    cws = []
     for r in randomness:
         cur = fold_step(cur, r, lg)
         lg -= 1
-        oracles.append(make_oracle(cur))
+        cws.append(cur)
     assert cur.shape[2] == 1 << RATE
+    return cws
+
+
+def commit_phase(vo, bl: int, randomness: List) -> LDTCommitment:
+    """vpd_verifier.cpp:44-74: fold the virtual oracle until each slice is
+    <= 2^RATE, committing every level.  Folds run first (cheap, sequential)
+    and every level's leaf chains + trees hash TOGETHER (latency-bound at
+    these widths).  randomness: list of (2,) arrays, length bl - LOG_SLICE."""
+    cws = fold_codewords(vo, bl, randomness)
+    oracles = make_oracles_batched(cws)
     return LDTCommitment(oracles=oracles, randomness=list(randomness),
-                         final_codeword=cur)
+                         final_codeword=cws[-1])
