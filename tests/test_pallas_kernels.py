@@ -50,3 +50,26 @@ def test_sumcheck_fold_pallas_prereduce_branch(monkeypatch):
             assert np.array_equal(np.asarray(x), np.asarray(y))
     finally:
         sumcheck_fold._fold_call.cache_clear()
+
+
+def test_keccak_pallas_matches_xla_and_hashlib():
+    """The Pallas SHA3 kernel (interpret mode on CPU) == XLA keccak ==
+    hashlib, incl. non-tile-aligned widths."""
+    import hashlib
+    from virgo_plus_tpu.pc.keccak import sha3_256_x64_xla
+    from virgo_plus_tpu.pallas_kernels.keccak_chain import sha3_256_x64_pallas
+
+    rng = np.random.default_rng(13)
+    for n in (5, 1500):     # sub-tile and 2-block widths
+        words = jnp.asarray(rng.integers(0, 2**63, (8, n), dtype=np.uint64))
+        ref = np.asarray(sha3_256_x64_xla(words))
+        got = np.asarray(sha3_256_x64_pallas(words, interpret=True))
+        assert np.array_equal(ref, got), n
+    # spot-check vs hashlib on the last batch
+    w_np = np.asarray(words)
+    for col in (0, n - 1):
+        msg = b"".join(int(w_np[k, col]).to_bytes(8, "little")
+                       for k in range(8))
+        want = hashlib.sha3_256(msg).digest()
+        got_b = b"".join(int(x).to_bytes(8, "little") for x in ref[:, col])
+        assert got_b == want

@@ -101,9 +101,31 @@ def keccak_f(state):
     return out
 
 
+# Pallas VMEM-resident permutation: the XLA formulation round-trips ~10
+# (25, N) intermediates per round through HBM (a 65-step Merkle leaf chain
+# costs ~22 ms at SHA256_64 widths); the kernel's only HBM traffic is the
+# message in and digest out.  Default on off-CPU; bit-exactness pinned by
+# tests/test_pallas_kernels.py (interpret mode vs hashlib).
+_PALLAS_ENV = os.environ.get("VPT_PALLAS_KECCAK")
+
+
+def _use_pallas() -> bool:
+    if _PALLAS_ENV is not None:
+        return _PALLAS_ENV == "1"
+    return jax.default_backend() not in ("cpu",)
+
+
 def sha3_256_x64(words):
     """SHA3-256 of 64-byte messages given as (8, N) uint64 words (LE).
     Returns (4, N) uint64 digest words."""
+    if _use_pallas():
+        from ..pallas_kernels.keccak_chain import sha3_256_x64_pallas
+        return sha3_256_x64_pallas(words)
+    return sha3_256_x64_xla(words)
+
+
+def sha3_256_x64_xla(words):
+    """Pure-XLA formulation (CPU path and bit-exactness cross-check)."""
     n = words.shape[1]
     state = jnp.zeros((25, n), jnp.uint64)
     state = state.at[:8].set(words)
