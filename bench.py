@@ -16,6 +16,9 @@ the reference's p_time-dominated numbers; BENCH.md reports them separately.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -32,26 +35,29 @@ def main():
                       "/root/repo/.jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     from virgo_plus_tpu import driver, fused
-    from virgo_plus_tpu.circuits.compile import compile_circuit, input_buffer
+    from virgo_plus_tpu.circuits.compile import compile_circuit
     from virgo_plus_tpu.gkr import protocol
-    from virgo_plus_tpu.field import gf
-    from virgo_plus_tpu.pc import virgo_pc, fft_gkr
-    from virgo_plus_tpu.utils.glibc_rand import GlibcRandom
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(here, "benches"))
+    import chutil
+
+    # Build the challenge stream in a SUBPROCESS: fft_gkr.run (needed only
+    # to advance the rng past its draws) pulls device results to host, and
+    # on the axon backend one device->host transfer permanently flips THIS
+    # process into synchronous ~6ms-per-dispatch mode — which would tax
+    # every timed run below.  The subprocess eats the flip; we load numpy.
+    if not os.path.exists(chutil.CH_NPZ):
+        subprocess.run([sys.executable,
+                        os.path.join(here, "benches", "chutil.py")],
+                       check=True, stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL)
 
     c = driver.load_circuit("/root/reference/data/SHA256_64.pws")
     cc = compile_circuit(c)
     plans = protocol.build_plans(cc)
-    bl0 = cc.layers[0].bit_length
-    n_folds = bl0 - virgo_pc.LOG_SLICE
 
-    # the exact challenge stream of a real prove (fft_gkr draws included)
-    rng = GlibcRandom(3396)
-    ch = protocol.make_challenges(cc, rng)
-    fft_gkr.run(bl0 - virgo_pc.LOG_SLICE, rng)
-    randomness = tuple(
-        gf.from_u64(np.uint64(r), np.uint64(i)).reshape(2)
-        for (r, i) in [rng.field_element() for _ in range(n_folds)])
-    inputs = input_buffer(cc)
+    ch, randomness, inputs = chutil.load_challenges()
 
     run = fused.make_e2e_prover(cc, plans)
 

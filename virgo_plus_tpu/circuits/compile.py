@@ -38,10 +38,14 @@ class CompiledLayer:
     size: int
     bit_length: int
     padded: int
-    # gathers (length = size)
-    x_idx: jnp.ndarray            # int32, into previous layer's padded block
-    y_idx: jnp.ndarray            # int32, global into value buffer
-    coeff: jnp.ndarray            # uint32 (4 coeffs, 4 limbs, size)
+    # gathers (length = size) — HOST numpy: converting a device array back
+    # with np.asarray does a device->host transfer, and on the axon remote
+    # backend ONE such transfer permanently degrades every later dispatch
+    # to a synchronous ~6ms tunnel round trip (measured).  Device copies are
+    # made once in eval_arrays()/circuit_arrays() and passed as jit args.
+    x_idx: np.ndarray             # int32, into previous layer's padded block
+    y_idx: np.ndarray             # int32, global into value buffer
+    coeff: np.ndarray             # uint64 (4 coeffs, 2 comps, size)
     is_assert: Optional[np.ndarray]
     has_assert: bool
     # phase-2 scatter: per gate, flat index into concat dad buffer (unary
@@ -142,14 +146,14 @@ def compile_circuit(c: LayeredCircuit) -> CompiledCircuit:
 
         layers.append(CompiledLayer(
             size=L.size, bit_length=L.bit_length, padded=padded[i],
-            x_idx=jnp.asarray(x_idx), y_idx=jnp.asarray(y_idx),
-            coeff=jnp.asarray(_coeff_planes(L)),
+            x_idx=x_idx, y_idx=y_idx,
+            coeff=_coeff_planes(L),
             is_assert=L.is_assert if L.is_assert.any() else None,
             has_assert=bool(L.is_assert.any()),
             dad_sizes=dad_sizes, dad_bls=dad_bls, dad_offsets=dad_offsets,
             dad_padded_total=dad_padded_total,
-            p2_flat_idx=None if p2_flat is None else jnp.asarray(p2_flat),
-            dad_gather_idx=None if dad_gather is None else jnp.asarray(dad_gather),
+            p2_flat_idx=p2_flat,
+            dad_gather_idx=dad_gather,
             max_dad_bit_length=L.max_dad_bit_length))
 
     return CompiledCircuit(
@@ -170,7 +174,12 @@ def input_buffer(cc: CompiledCircuit, witness: Optional[np.ndarray] = None):
 def eval_arrays(cc: CompiledCircuit) -> dict:
     """Gather/coefficient arrays as a pytree (passed as jit arguments so
     they are parameters, not multi-MB inline constants)."""
-    return {f"x{i}": cc.layers[i].x_idx for i in range(1, cc.depth)} |            {f"y{i}": cc.layers[i].y_idx for i in range(1, cc.depth)} |            {f"co{i}": cc.layers[i].coeff for i in range(1, cc.depth)}
+    return {f"x{i}": jnp.asarray(cc.layers[i].x_idx)
+            for i in range(1, cc.depth)} | \
+           {f"y{i}": jnp.asarray(cc.layers[i].y_idx)
+            for i in range(1, cc.depth)} | \
+           {f"co{i}": jnp.asarray(cc.layers[i].coeff)
+            for i in range(1, cc.depth)}
 
 
 def evaluate(cc: CompiledCircuit, inputs, arrs=None):

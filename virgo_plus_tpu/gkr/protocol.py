@@ -150,14 +150,14 @@ def circuit_arrays(cc: CompiledCircuit, plans) -> dict:
     for i in range(1, cc.depth):
         L = cc.layers[i]
         P = plans[i]
-        arrs[f"x{i}"] = L.x_idx
-        arrs[f"y{i}"] = L.y_idx
-        arrs[f"co{i}"] = L.coeff
+        arrs[f"x{i}"] = jnp.asarray(L.x_idx)
+        arrs[f"y{i}"] = jnp.asarray(L.y_idx)
+        arrs[f"co{i}"] = jnp.asarray(L.coeff)
         fold_bls.add(cc.layers[i - 1].bit_length)
         if P.p2 is not None:
-            arrs[f"dg{i}"] = jnp.clip(L.dad_gather_idx, 0)
+            arrs[f"dg{i}"] = jnp.asarray(np.clip(L.dad_gather_idx, 0, None))
             arrs[f"dgm{i}"] = jnp.asarray(
-                np.asarray(L.dad_gather_idx) >= 0)[None, :]
+                L.dad_gather_idx >= 0)[None, :]
             for li in range(i):
                 if L.dad_sizes[li] > 0:
                     fold_bls.add(L.dad_bls[li])

@@ -178,9 +178,9 @@ def make_sharded_prover(cc, plans, mesh: Mesh, axis: str = "sp"):
         Pl = plans[i]
         bl_prev = cc.layers[i - 1].bit_length
         pre_padded = cc.layers[i - 1].padded
-        arrs_rep[f"x{i}"] = L.x_idx
-        arrs_rep[f"y{i}"] = L.y_idx
-        arrs_rep[f"co{i}"] = L.coeff
+        arrs_rep[f"x{i}"] = jnp.asarray(L.x_idx)
+        arrs_rep[f"y{i}"] = jnp.asarray(L.y_idx)
+        arrs_rep[f"co{i}"] = jnp.asarray(L.coeff)
         key = "sh" if is_sharded(bl_prev) else "rep"
         tgt = arrs_sh if key == "sh" else arrs_rep
         if is_sharded(bl_prev):
