@@ -17,11 +17,8 @@ the reference's p_time-dominated numbers; BENCH.md reports them separately.
 
 import json
 import os
-import subprocess
 import sys
 import time
-
-import numpy as np
 
 
 BASELINE_PROVE_S = 0.414
@@ -42,20 +39,19 @@ def main():
     sys.path.insert(0, os.path.join(here, "benches"))
     import chutil
 
-    # Build the challenge stream in a SUBPROCESS: fft_gkr.run (needed only
-    # to advance the rng past its draws) pulls device results to host, and
-    # on the axon backend one device->host transfer permanently flips THIS
-    # process into synchronous ~6ms-per-dispatch mode — which would tax
-    # every timed run below.  The subprocess eats the flip; we load numpy.
-    if not os.path.exists(chutil.CH_NPZ):
-        subprocess.run([sys.executable,
-                        os.path.join(here, "benches", "chutil.py")],
-                       check=True, stdout=subprocess.DEVNULL,
-                       stderr=subprocess.DEVNULL)
-
     c = driver.load_circuit("/root/reference/data/SHA256_64.pws")
     cc = compile_circuit(c)
     plans = protocol.build_plans(cc)
+
+    # Build the challenge stream in a SUBPROCESS (chutil.ensure): fft_gkr.run
+    # (needed only to advance the rng past its draws) pulls device results to
+    # host, and on the axon backend one device->host transfer permanently
+    # flips THIS process into synchronous ~6ms-per-dispatch mode — which
+    # would tax every timed run below.  The subprocess eats the flip; we load
+    # numpy.  ensure() regenerates when the cached schedule mismatches cc.
+    from virgo_plus_tpu.pc import virgo_pc
+    chutil.ensure(cc=cc,
+                  n_folds=cc.layers[0].bit_length - virgo_pc.LOG_SLICE)
 
     ch, randomness, inputs = chutil.load_challenges()
 

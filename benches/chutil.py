@@ -53,14 +53,49 @@ def save_challenges(path=CH_NPZ, pws=PWS):
     return path
 
 
-def ensure(path=CH_NPZ):
-    """Generate the npz in a subprocess (eating the D2H dispatch flip
-    there) if it does not exist yet."""
+def matches(path, cc, n_folds):
+    """True iff the cached npz matches the challenge schedule of cc: same
+    depth, per-layer challenge shapes, and fold-challenge count.  A stale
+    cache (circuit compilation or schedule change) must regenerate, not
+    silently load."""
     if not os.path.exists(path):
+        return False
+    try:
+        z = np.load(path)
+        if int(z["depth"]) != cc.depth or len(z["rands"]) != n_folds:
+            return False
+        if z["r_out"].shape[1] != cc.layers[cc.depth - 1].bit_length:
+            return False
+        for i in range(1, cc.depth):
+            L = cc.layers[i]
+            bl_prev = cc.layers[i - 1].bit_length
+            if z[f"ru{i}"].shape[1] != bl_prev:
+                return False
+            if L.max_dad_bit_length >= 0:
+                if f"rv{i}" not in z or \
+                        z[f"rv{i}"].shape[1] != L.max_dad_bit_length:
+                    return False
+            elif f"rv{i}" in z.files:
+                return False
+        return True
+    except Exception:
+        return False
+
+
+def ensure(path=CH_NPZ, cc=None, n_folds=None):
+    """Generate the npz in a subprocess (eating the D2H dispatch flip
+    there) if it is missing — or stale, when cc/n_folds are given to
+    validate against."""
+    stale = (not os.path.exists(path) if cc is None
+             else not matches(path, cc, n_folds))
+    if stale:
         import subprocess
-        subprocess.run([sys.executable, os.path.abspath(__file__)],
-                       check=True, stdout=subprocess.DEVNULL,
-                       stderr=subprocess.DEVNULL)
+        try:
+            subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           check=True, capture_output=True, text=True)
+        except subprocess.CalledProcessError as e:
+            raise RuntimeError(
+                f"challenge-stream generation failed:\n{e.stderr}") from e
     return path
 
 

@@ -28,13 +28,6 @@ def test_sharded_commit_root_matches():
     assert (unstride(cw_strided, 8) == np.asarray(oracle.codeword)).all()
 
 
-import os
-import pytest
-
-
-@pytest.mark.skipif(os.environ.get("VPT_SLOW_TESTS") != "1",
-                    reason="multi-minute shard_map compiles on CPU; "
-                           "set VPT_SLOW_TESTS=1")
 def test_sharded_pc_prove_matches_single_chip():
     """Full sharded PC pipeline (private + public commit + every LDT fold)
     == the single-chip pipeline bit for bit on the 8-device CPU mesh."""

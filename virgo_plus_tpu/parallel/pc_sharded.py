@@ -85,7 +85,7 @@ def sharded_commit_private(mesh: Mesh, axis: str, bl: int):
         cw = jnp.concatenate([local, mask], axis=1)         # (2, 65, L)
         return _local_root(cw, axis, S), cw
 
-    return run
+    return jax.jit(run)
 
 
 def _powers_dev(base, n: int):
@@ -241,7 +241,7 @@ def sharded_commit_public(mesh: Mesh, axis: str, bl: int):
         root_h = _local_root(h_full, axis, S)
         return root_h, all_sum, vo, h_full
 
-    return run
+    return jax.jit(run)
 
 
 def _int2(pair):
@@ -278,7 +278,7 @@ def sharded_fold_step(mesh: Mesh, axis: str, lg_n: int):
                    r[:, None, None])
         return gf.mul(gf.add(s, d), inv2_el)
 
-    return run
+    return jax.jit(run)
 
 
 def sharded_oracle_root(mesh: Mesh, axis: str):
@@ -290,7 +290,7 @@ def sharded_oracle_root(mesh: Mesh, axis: str):
     def run(cw_local):
         return _local_root(cw_local, axis, S)
 
-    return run
+    return jax.jit(run)
 
 
 def unstride(cw_strided, S: int):
@@ -312,7 +312,11 @@ def sharded_pc_prove(mesh: Mesh, axis: str, bl: int):
     Returns fn(values (2,2^bl), q_values (2,2^bl), randomness list of (2,))
     -> dict with root_l, root_h, all_sum, level roots, and the natural-
     order codewords (gathered host-side for query answering; a
-    query-sparse DMA path is the scale-out follow-up)."""
+    query-sparse DMA path is the scale-out follow-up).
+
+    The whole pipeline compiles as ONE jit: an eagerly-dispatched shard_map
+    pays a full lower+compile per call (~minutes on the CPU mesh), so the
+    composed prove must never run its stages un-jitted."""
     S = mesh.shape[axis]
     lg = bl + RATE - LOG_SLICE
     commit_fn = sharded_commit_private(mesh, axis, bl)
@@ -324,6 +328,7 @@ def sharded_pc_prove(mesh: Mesh, axis: str, bl: int):
         fold_fns[cur_lg] = sharded_fold_step(mesh, axis, cur_lg)
         cur_lg -= 1
 
+    @jax.jit
     def run(values, q_values, randomness):
         root_l, l_strided = commit_fn(values)
         root_h, all_sum, vo, h_strided = public_fn(l_strided, q_values)
