@@ -4,15 +4,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: reference prove = 0.414 s (0.113 GKR + 0.301 PC) measured on the
 single-core C++ build (BASELINE.md).
 
-Measures the steady-state prover wall time of the SINGLE-DISPATCH fused
-prover (virgo_plus_tpu/fused.py): evaluate + input commit + full GKR +
-public commit + all LDT fold levels run as ONE jitted device program, so
-the number is a property of the device, not of host-link dispatch latency
-(the staged prover's ~30 dispatches measured anywhere from 0.013 s to
-0.183 s depending on tunnel state).  Accounting matches the reference's
-prove timers (verifier.cpp:178,183): the fft_gkr message generation and
-query answering (host-side, verifier-bound) are excluded, as they are from
-the reference's p_time-dominated numbers; BENCH.md reports them separately.
+Measures the steady-state prover wall time of the fused prover
+(virgo_plus_tpu/fused.py): evaluate + input commit + full GKR + public
+commit + all LDT fold levels as ONE jitted device program, PLUS the
+fft_gkr prover-message tape (a second small jit), so the number is a
+property of the device, not of host-link dispatch latency (the staged
+prover's ~30 dispatches measured anywhere from 0.013 s to 0.183 s
+depending on tunnel state).  Accounting matches the reference's prove
+timers (verifier.cpp:178,183 — whose PC prove time includes the fft_gkr
+prover, fft_circuit_GKR.cpp:18-19): everything the prover computes is
+timed except host-side query answering (Merkle path gathers, which the
+reference performs inside its verify loop); BENCH.md reports that
+separately.
 """
 
 import json
@@ -54,18 +57,25 @@ def main():
                   n_folds=cc.layers[0].bit_length - virgo_pc.LOG_SLICE)
 
     ch, randomness, inputs = chutil.load_challenges()
+    fg_sched = chutil.load_fg_schedule()
 
     run = fused.make_e2e_prover(cc, plans)
+    n_folds = cc.layers[0].bit_length - virgo_pc.LOG_SLICE
+    tape = fused.make_fg_tape(n_folds)
 
     # warm-up (compile)
     out = run(inputs, ch, randomness)
+    msgs = tape(fg_sched)
     jax.block_until_ready(out)
+    jax.block_until_ready(msgs)
 
     runs = 5
     t0 = time.time()
     for _ in range(runs):
         out = run(inputs, ch, randomness)
+        msgs = tape(fg_sched)
         jax.block_until_ready(out)
+        jax.block_until_ready(msgs)
     dt = (time.time() - t0) / runs
 
     print(json.dumps({

@@ -42,7 +42,12 @@ def main(batch=16):
 
     rng = GlibcRandom(3396)
     ch = protocol.make_challenges(cc, rng)
-    fft_gkr.run(n_folds, rng)
+    # advance the stream past the fft_gkr draws WITHOUT fft_gkr.run: run()
+    # pulls device results to host, and one D2H on the axon backend flips
+    # the process into ~6ms-per-dispatch synchronous mode, taxing the
+    # timed loop below (draw_schedule consumes the identical draws —
+    # pinned by tests/test_fft_gkr_schedule.py)
+    fft_gkr.draw_schedule(n_folds, rng)
     randomness = tuple(
         gf.from_u64(np.uint64(r), np.uint64(i)).reshape(2)
         for (r, i) in [rng.field_element() for _ in range(n_folds)])

