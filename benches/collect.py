@@ -23,20 +23,27 @@ import time
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TABLE = os.path.join(ROOT, "BENCH_TABLE.json")
 
+# name -> (argv, timeout_s).  The big compiles (large/podslice/batched)
+# get longer budgets: a cold fused-module compile alone is ~15 min via the
+# axon remote-compile helper (BENCH.md), and those benches compile several.
 BENCHES = {
-    "bench": ["bench.py"],
-    "verify": ["benches/verify_bench.py"],
-    "micro": ["benches/micro.py"],
-    "stress": ["benches/stress.py"],
-    "batched": ["benches/batched_full.py"],
-    "large": ["benches/large.py"],
-    "podslice": ["benches/podslice.py"],
+    "bench": (["bench.py"], 3600),
+    "verify": (["benches/verify_bench.py"], 3600),
+    "micro": (["benches/micro.py"], 3600),
+    "fs": (["benches/fs_bench.py"], 3600),
+    "stress": (["benches/stress.py"], 5400),
+    "batched": (["benches/batched_full.py"], 7200),
+    "large": (["benches/large.py"], 7200),
+    "podslice": (["benches/podslice.py"], 5400),
 }
-CHEAP = ["bench", "verify", "micro"]
+CHEAP = ["bench", "verify", "micro", "fs"]
 
 
-def run_one(name, timeout=3600):
-    cmd = [sys.executable, "-u"] + BENCHES[name]
+def run_one(name, timeout=None):
+    argv, default_timeout = BENCHES[name]
+    if timeout is None:
+        timeout = default_timeout
+    cmd = [sys.executable, "-u"] + argv
     t0 = time.time()
     try:
         p = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True,
@@ -48,9 +55,12 @@ def run_one(name, timeout=3600):
         ln = ln.strip()
         if ln.startswith("{"):
             try:
-                lines.append(json.loads(ln))
+                obj = json.loads(ln)
             except json.JSONDecodeError:
-                pass
+                continue
+            # only ingest result-shaped objects, not stray debug dicts
+            if isinstance(obj, dict) and "metric" in obj:
+                lines.append(obj)
     rec = {"results": lines, "wall_s": round(time.time() - t0, 1),
            "rc": p.returncode}
     if p.returncode != 0:
@@ -82,6 +92,8 @@ if __name__ == "__main__":
         names = list(BENCHES)
     else:
         names = args
-        for n in names:
-            assert n in BENCHES, f"unknown bench {n}; choose {list(BENCHES)}"
+        bad = [n for n in names if n not in BENCHES]
+        if bad:
+            print(f"unknown bench(es) {bad}; choose from {list(BENCHES)}")
+            sys.exit(1)
     main(names)

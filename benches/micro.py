@@ -22,20 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-# v5e per-chip roofline constants (public spec: 394 int8 MXU TOPS is not the
-# relevant ceiling here — protocol kernels are VPU/bitwise-bound):
-# VPU: (8, 128) lanes x ~4 int32 ALUs x ~0.94 GHz.
-PEAK_INT32_OPS = 3.85e12
-HBM_BYTES_S = 8.2e11
-
-# Analytic int32-op costs of the field kernels as lowered on TPU
-# (field/gf.py): one base-field u64 'mymult' = 4 u32 partial products +
-# ~10 shift/mask/add u64 ops (~2 int32 ops each) ~= 36 int32 ops; a GF(p^2)
-# mul is 3 mymults + ~14 u64 add/fold ops ~= 136; a field add ~= 8.
-OPS_FIELD_MUL = 136
-OPS_FIELD_ADD = 8
-# keccak-f[1600]: 24 rounds x ~76 u64 bit-ops x 2 int32 ops each
-OPS_KECCAK = 24 * 76 * 2
+# single source for roofline + per-op costs: virgo_plus_tpu/utils/metrics.py
+from virgo_plus_tpu.utils.metrics import (
+    PEAK_INT32_OPS, HBM_BYTES_S, OPS_FIELD_MUL, OPS_FIELD_ADD, OPS_KECCAK)
 
 
 def bench(name, fn, args, work, unit, ops=None, bytes_moved=0, iters=50):

@@ -27,24 +27,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(layers=4, bits=9):
+def main(layers=16, bits=14):
     import jax
     jax.config.update("jax_platforms", "cpu")
     from jax.sharding import Mesh
     from virgo_plus_tpu import driver
     from virgo_plus_tpu.circuits.layered import randomize, subset_init
     from virgo_plus_tpu.parallel.gkr_sharded import prove_sharded
-    from virgo_plus_tpu.pc.virgo_pc import RATE, LOG_SLICE
 
     S = 8
     mesh = Mesh(np.array(jax.devices()[:S]), ("sp",))
     c = randomize(layers, bits, seed=9)
     subset_init(c)
-
-    bl0 = bits
-    ss = 1 << (bl0 + RATE - LOG_SLICE)
-    table_b = 3 * 2 * (1 << bits) * 8 // S          # V/addV/mult slices
-    cw_b = 2 * 65 * ss * 8 // S                     # one codeword, strided
 
     t0 = time.time()
     full_sh, info = prove_sharded(c, mesh, "sp")
@@ -55,6 +49,8 @@ def main(layers=4, bits=9):
     assert np.array_equal(full_sh.root_l, full_ref.root_l)
     assert np.array_equal(full_sh.root_h, full_ref.root_h)
     assert np.array_equal(full_sh.level_roots, full_ref.level_roots)
+    assert np.array_equal(full_sh.queries.init_l_paths,
+                          full_ref.queries.init_l_paths)
     rep = driver.verify(c, full_sh, cp)
     assert rep.ok
 
@@ -62,8 +58,11 @@ def main(layers=4, bits=9):
         "metric": "podslice_dryrun_sharded_prove",
         "devices": S,
         "gates": (layers - 1) * (1 << bits),
-        "per_device_sumcheck_bytes": table_b,
-        "per_device_codeword_bytes": cw_b,
+        "bl0": bits,
+        # measured from the arrays actually resident after the prove:
+        # per-device sharded PC state vs a full-codeword host gather
+        "per_device_pc_bytes": info["per_device_pc_bytes"],
+        "full_codeword_bytes": info["full_codeword_bytes"],
         "prove_wall_s": round(dt, 3),
         "roots_bit_exact": True,
         "verified": bool(rep.ok),

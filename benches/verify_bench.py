@@ -45,6 +45,13 @@ def main():
         "vs_baseline": round(0.0596 / dt, 3),
         "backend": jax.default_backend(),
     }))
+    # reference fast/slow split (verifier.cpp:180: 0.017 fast + 0.035 slow)
+    print(json.dumps({
+        "metric": "sha256_64_verify_slow_sweeps_s",
+        "value": round(rep.verify_time_slow, 4),
+        "unit": "s",
+        "vs_baseline": round(0.035 / max(rep.verify_time_slow, 1e-9), 3),
+    }))
 
 
 if __name__ == "__main__":

@@ -1,15 +1,10 @@
-"""CLI surface tests.
-
-The full prove->file->verify subprocess round trip recompiles everything
-per process (~8 min on CPU), so it is gated behind VPT_SLOW_TESTS=1; the
-default test covers argument parsing and error surfaces.
-"""
+"""CLI surface tests, including the full prove->file->verify subprocess
+round trip on the small1200 fixture (each subprocess recompiles its staged
+jits, so this is one of the slower default tests)."""
 
 import os
 import subprocess
 import sys
-
-import pytest
 
 
 def _run(args, **kw):
@@ -30,8 +25,6 @@ def test_cli_help_and_errors():
     assert r3.returncode != 0
 
 
-@pytest.mark.skipif(os.environ.get("VPT_SLOW_TESTS") != "1",
-                    reason="full CLI round trip recompiles per process")
 def test_cli_prove_verify(tmp_path):
     proof = str(tmp_path / "p.npz")
     r = _run(["prove", "tests/data/small1200.pws", "-o", proof])
@@ -40,3 +33,5 @@ def test_cli_prove_verify(tmp_path):
     r2 = _run(["verify", "tests/data/small1200.pws", proof])
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "Verification pass" in r2.stderr
+    # reference-format fast/slow verify-time split (verifier.cpp:180)
+    assert "(slow)" in r2.stdout

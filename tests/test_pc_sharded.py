@@ -20,8 +20,10 @@ def test_sharded_commit_root_matches():
 
     mesh = Mesh(np.array(jax.devices()[:8]), ("fp",))
     fn = jax.jit(sharded_commit_private(mesh, "fp", bl))
-    root, cw_strided = fn(values)
+    root, sub, top, cw_strided = fn(values)
     assert (np.asarray(root) == want_root).all()
+    # top's last entry is the root (sharded_queries layout contract)
+    assert (np.asarray(top)[:, -1] == want_root).all()
 
     # strided codeword re-interleaves to the exact single-chip codeword
     from virgo_plus_tpu.parallel.pc_sharded import unstride
@@ -66,3 +68,30 @@ def test_sharded_pc_prove_matches_single_chip():
                 == np.asarray(o.tree[:, 1])).all(), k
         assert (unstride(out["level_codewords"][k], 8)
                 == np.asarray(o.codeword)).all(), k
+
+    # query-sparse sharded answering == host answering, bit for bit
+    from virgo_plus_tpu.parallel.pc_sharded import oracle_descs
+    from virgo_plus_tpu.parallel.sharded_queries import (
+        answer_queries_sharded)
+    from virgo_plus_tpu.pc import vpd
+    from virgo_plus_tpu.utils.glibc_rand import GlibcRandom
+
+    pows = vpd.draw_positions(GlibcRandom(77), bl)
+    l_host = vpd.OracleHost.of(l_oracle)
+    h_host = vpd.OracleHost.of(h_oracle)
+    level_hosts = [vpd.OracleHost.of(o) for o in ldt.oracles]
+    want, want_size = vpd.answer_queries(pows, bl, l_host, h_host,
+                                         level_hosts)
+
+    lg = bl + virgo_pc.RATE - virgo_pc.LOG_SLICE
+    l_d, h_d, lvl_d = oracle_descs(out, 8, lg)
+    got, got_size = answer_queries_sharded(pows, bl, l_d, h_d, lvl_d)
+
+    assert got_size == want_size
+    assert (got.init_l_vals == want.init_l_vals).all()
+    assert (got.init_l_paths == want.init_l_paths).all()
+    assert (got.init_h_vals == want.init_h_vals).all()
+    assert (got.init_h_paths == want.init_h_paths).all()
+    for k in range(len(want.lvl_vals)):
+        assert (got.lvl_vals[k] == want.lvl_vals[k]).all(), k
+        assert (got.lvl_paths[k] == want.lvl_paths[k]).all(), k

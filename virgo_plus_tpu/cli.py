@@ -83,7 +83,9 @@ def main(argv=None):
         print("Verification pass" if rep.ok else "Verification fail",
               file=sys.stderr)
         print(f"Input size {rep.input_size}")
-        print(f"verify time {rep.verify_time:.6f}")
+        # reference format (verifier.cpp:180): total = fast + slow sweeps
+        print(f"verify time {rep.verify_time:.6f} = "
+              f"{rep.verify_time_fast:.6f} + {rep.verify_time_slow:.6f}(slow)")
         return 0 if rep.ok else 1
 
     # run
@@ -93,10 +95,17 @@ def main(argv=None):
           file=sys.stderr)
     print(f"Input size {rep.input_size}")
     print(f"Prove Time {rep.prove_time:.6f}")
-    print(f"verify time {rep.verify_time:.6f}")
+    print(f"verify time {rep.verify_time:.6f} = "
+          f"{rep.verify_time_fast:.6f} + {rep.verify_time_slow:.6f}(slow)")
     print(f"proof size = {rep.gkr_proof_size / 1024:.6f} kb")
     print(f"Polynomial commitment: proof size "
           f"{rep.pc_proof_size / 1024:.6f} kb")
+    # op-counter line (main.cpp:157): analytic sumcheck field-op counts of
+    # the protocol on this circuit + the resulting throughput
+    mult, add = rep.details.get("op_counts", (0, 0))
+    print(f"mult counter {mult}, add counter {add}")
+    if rep.prove_time > 0 and (mult or add):
+        print(f"prover field-ops/s {(mult + add) / rep.prove_time:.3e}")
     print(f"total wall {time.time() - t0:.3f}s")
     return 0 if rep.ok else 1
 

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import ProtocolConfig, DEFAULT as DEFAULT_CONFIG
+from .utils import metrics
 from .field import gf
 from .field.ref import Fq2
 from .utils.glibc_rand import GlibcRandom
@@ -51,6 +52,10 @@ class Report:
     pc_proof_size: int         # bytes
     prove_time: float = 0.0
     verify_time: float = 0.0
+    # reference fast/slow verifier split (verifier.cpp:180, verifier.h:45-46):
+    # slow = the O(#gates) wiring-predicate sweeps, fast = everything else
+    verify_time_fast: float = 0.0
+    verify_time_slow: float = 0.0
     details: dict = dc_field(default_factory=dict)
 
 
@@ -284,12 +289,14 @@ def verify(circuit: LayeredCircuit, full: proof_io.FullProof,
     input_check = (tot == ps)
 
     pc_ok = bool(pc_ok) and fg.ok and input_check
+    vt = time.time() - t0
+    slow = getattr(cp.verifier, "last_split", (0.0, 0.0))[1]
     return Report(
         ok=gkr_ok and pc_ok, gkr_ok=gkr_ok, pc_ok=pc_ok,
         input_size=cc.n_inputs,
         gkr_proof_size=gkr_proof_size_bytes(cc),
         pc_proof_size=0,
-        verify_time=time.time() - t0,
+        verify_time=vt, verify_time_fast=vt - slow, verify_time_slow=slow,
         details=dict(fft_gkr_ok=fg.ok, input_check=input_check))
 
 
@@ -408,11 +415,13 @@ def verify_fs(circuit: LayeredCircuit, full: proof_io.FullProof,
         tot = tot + x
     input_check = (tot == ps)
     pc_ok = bool(pc_ok) and fg.ok and input_check
+    vt = time.time() - t0
+    slow = getattr(cp.verifier, "last_split", (0.0, 0.0))[1]
     return Report(
         ok=gkr_ok and pc_ok, gkr_ok=gkr_ok, pc_ok=pc_ok,
         input_size=cc.n_inputs,
         gkr_proof_size=gkr_proof_size_bytes(cc), pc_proof_size=0,
-        verify_time=time.time() - t0,
+        verify_time=vt, verify_time_fast=vt - slow, verify_time_slow=slow,
         details=dict(fft_gkr_ok=fg.ok, input_check=input_check))
 
 
@@ -430,7 +439,23 @@ def run(pws_path: Optional[str] = None,
     if circuit is None:
         circuit = load_circuit(pws_path, config.bug_compat)
     cp = compiled or compile_prover(circuit)
-    if config.transcript == "fs":
+    if config.mesh is not None and config.mesh[1] > 1:
+        # multi-chip prove over an sp-axis mesh (parallel/gkr_sharded);
+        # verification consumes the standalone proof exactly as single-chip
+        if config.transcript == "fs":
+            raise ValueError("mesh + fs transcript is not supported yet; "
+                             "use the glibc stream for sharded proves")
+        from jax.sharding import Mesh
+        from .parallel.gkr_sharded import prove_sharded
+        dp, sp = config.mesh
+        devs = jax.devices()
+        if dp * sp > len(devs):
+            raise ValueError(f"mesh {config.mesh} needs {dp * sp} devices, "
+                             f"have {len(devs)}")
+        mesh = Mesh(np.array(devs[:dp * sp]).reshape(dp, sp), ("dp", "sp"))
+        full, info = prove_sharded(circuit, mesh, "sp", config.seed)
+        rep = verify(circuit, full, cp, config.seed)
+    elif config.transcript == "fs":
         full, info = prove_fs(circuit, cp)
         rep = verify_fs(circuit, full, cp)
     else:
@@ -438,7 +463,9 @@ def run(pws_path: Optional[str] = None,
         rep = verify(circuit, full, cp, config.seed)
     rep.pc_proof_size = info["pc_proof_size"]
     rep.prove_time = info["prove_time"]
+    ops = metrics.protocol_op_counts(cp.cc)
     rep.details.update(
         root_l=[int(x) for x in full.root_l],
-        root_h=[int(x) for x in full.root_h])
+        root_h=[int(x) for x in full.root_h],
+        op_counts=(ops.mult, ops.add))
     return rep

@@ -16,6 +16,7 @@ is discharged by the polynomial commitment (pc/).
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -390,25 +391,20 @@ def _check_round_chain(polys, rs, previous_sum):
     return ok, previous_sum
 
 
-def verify_layer(cc: CompiledCircuit, i: int, lp: LayerProof,
-                 r_cur, ch: LayerChallenges, previous_sum,
-                 proof: "Proof", ch_all: Challenges):
-    """Replays verifier.cpp:191-337 for one layer. Returns (ok, new_sum)."""
+def predicate_check(cc: CompiledCircuit, i: int, lp: LayerProof,
+                    r_cur, ch: LayerChallenges, previous_sum_mid):
+    """The O(#gates) wiring-predicate sweep (verifier.cpp:63-132, 160-166).
+
+    This is the reference's "slow" verifier cost (verify_slow_timer,
+    verifier.h:45-46), kept separable so the driver can time it apart from
+    the succinct round-chain checks.  It is a pure side-check: it consumes
+    the previousSum value reached after the phase-2 rounds and produces
+    only a boolean — nothing downstream depends on it."""
     L = cc.layers[i]
     src = cc.source
     bl_prev = cc.layers[i - 1].bit_length
     one = gf.ones(())
 
-    # phase 1 round checks
-    ok1, previous_sum = _check_round_chain(lp.p1_polys,
-                                           ch.r_u[:, :bl_prev], previous_sum)
-    # phase 2 round checks
-    ok2 = jnp.bool_(True)
-    if L.max_dad_bit_length >= 0:
-        ok2, previous_sum = _check_round_chain(
-            lp.p2_polys, ch.r_v[:, :L.max_dad_bit_length], previous_sum)
-
-    # predicate identity (verifier.cpp:63-132, 160-166)
     bg = beta_table(r_cur, L.bit_length, one)
     bg = _scale_beta_asserts(cc, i, bg, ch.assert_r)
     bg = bg[:, :L.size]
@@ -431,7 +427,30 @@ def verify_layer(cc: CompiledCircuit, i: int, lp: LayerProof,
     gate_val = gf.add(gf.add(gf.mul(A, cu), gf.mul(B, cv)),
                       gf.add(gf.mul(C, gf.mul(cu, cv)), D))
     test_value = tree_sum(gf.mul(w, gate_val))
-    ok3 = jnp.all(test_value == previous_sum)
+    return jnp.all(test_value == previous_sum_mid)
+
+
+def verify_layer_fast(cc: CompiledCircuit, i: int, lp: LayerProof,
+                      r_cur, ch: LayerChallenges, previous_sum,
+                      proof: "Proof", ch_all: Challenges):
+    """The succinct half of one layer's verification: round chains + Liu
+    (verifier.cpp:191-337 minus the predicate sweeps).  Returns
+    (ok, previous_sum_mid, new_sum) where previous_sum_mid is the value the
+    predicate sweep must reproduce."""
+    L = cc.layers[i]
+    src = cc.source
+    bl_prev = cc.layers[i - 1].bit_length
+    one = gf.ones(())
+
+    # phase 1 round checks
+    ok1, previous_sum = _check_round_chain(lp.p1_polys,
+                                           ch.r_u[:, :bl_prev], previous_sum)
+    # phase 2 round checks
+    ok2 = jnp.bool_(True)
+    if L.max_dad_bit_length >= 0:
+        ok2, previous_sum = _check_round_chain(
+            lp.p2_polys, ch.r_v[:, :L.max_dad_bit_length], previous_sum)
+    previous_sum_mid = previous_sum
 
     # Liu phase (verifier.cpp:272-337)
     sig = ch.sig
@@ -465,8 +484,18 @@ def verify_layer(cc: CompiledCircuit, i: int, lp: LayerProof,
     ok5 = jnp.all(gf.mul(lp.liu_claim, gr) == previous_sum)
     previous_sum = lp.liu_claim
 
-    ok = ok1 & ok2 & ok3 & ok4 & ok5 & ok_extra
-    return ok, previous_sum
+    ok = ok1 & ok2 & ok4 & ok5 & ok_extra
+    return ok, previous_sum_mid, previous_sum
+
+
+def verify_layer(cc: CompiledCircuit, i: int, lp: LayerProof,
+                 r_cur, ch: LayerChallenges, previous_sum,
+                 proof: "Proof", ch_all: Challenges):
+    """Replays verifier.cpp:191-337 for one layer. Returns (ok, new_sum)."""
+    ok_fast, mid, new_sum = verify_layer_fast(cc, i, lp, r_cur, ch,
+                                              previous_sum, proof, ch_all)
+    ok_slow = predicate_check(cc, i, lp, r_cur, ch, mid)
+    return ok_fast & ok_slow, new_sum
 
 
 def verify(cc: CompiledCircuit, proof: Proof, ch: Challenges,
@@ -807,19 +836,34 @@ def make_verifier(cc: CompiledCircuit, staged: bool = True):
 
     staged=True: one jit per layer (layers verify independently — the
     previousSum entering layer i is the upper layer's Liu claim, which is
-    proof data), compiling in seconds; staged=False: single fused jit."""
+    proof data), compiling in seconds; staged=False: single fused jit.
+
+    The staged runner keeps the reference's fast/slow verifier time split
+    (verifier.cpp:180, verify_slow_timer verifier.h:45-46): the succinct
+    round-chain work and the O(#gates) predicate sweeps run as separate
+    jit groups, and after each call ``run.last_split`` holds
+    ``(fast_seconds, slow_seconds)``."""
     if not staged:
         return jax.jit(lambda proof, ch, out: verify(cc, proof, ch, out))
 
-    layer_fns = {}
+    fast_fns, slow_fns = {}, {}
 
-    def layer_fn(i):
-        fn = layer_fns.get(i)
+    def fast_fn(i):
+        fn = fast_fns.get(i)
         if fn is None:
             fn = jax.jit(
                 lambda lp, r_cur, chl, prev, proof, ch:
-                verify_layer(cc, i, lp, r_cur, chl, prev, proof, ch))
-            layer_fns[i] = fn
+                verify_layer_fast(cc, i, lp, r_cur, chl, prev, proof, ch))
+            fast_fns[i] = fn
+        return fn
+
+    def slow_fn(i):
+        fn = slow_fns.get(i)
+        if fn is None:
+            fn = jax.jit(
+                lambda lp, r_cur, chl, mid:
+                predicate_check(cc, i, lp, r_cur, chl, mid))
+            slow_fns[i] = fn
         return fn
 
     vres_fn = jax.jit(
@@ -829,20 +873,32 @@ def make_verifier(cc: CompiledCircuit, staged: bool = True):
         depth = cc.depth
         previous_sum = proof.vres
         oks = []
+        t0 = time.perf_counter()
         if output_values is not None:
             oks.append(vres_fn(output_values, ch.r_out, proof.vres))
         r_cur = ch.r_out
+        slow_work = []          # (i, lp, r_cur, chl, mid) for the sweeps
         for i in range(depth - 1, 0, -1):
-            ok_i, previous_sum = layer_fn(i)(
+            ok_i, mid, previous_sum = fast_fn(i)(
                 proof.layers[i], r_cur, ch.layers[i], previous_sum,
                 proof, ch)
             oks.append(ok_i)
+            slow_work.append((i, proof.layers[i], r_cur, ch.layers[i], mid))
             r_cur = ch.layers[i].r_liu[:, :cc.layers[i - 1].bit_length]
         ok = oks[0]
         for o in oks[1:]:
             ok = ok & o
+        ok, previous_sum, r_cur = jax.block_until_ready(
+            (ok, previous_sum, r_cur))
+        t_fast = time.perf_counter() - t0
+
+        for i, lp, rc, chl, mid in slow_work:
+            ok = ok & slow_fn(i)(lp, rc, chl, mid)
+        ok = jax.block_until_ready(ok)
+        run.last_split = (t_fast, time.perf_counter() - t0 - t_fast)
         return ok, previous_sum, r_cur
 
+    run.last_split = (0.0, 0.0)
     return run
 
 

@@ -17,11 +17,13 @@ loops, prover.cpp:214-273, 282-367, 369-420):
 * the gate scatters become per-shard pre-partitioned segment sums: the
   compile-time ScatterPlan sorts contributions by destination, so a shard's
   destination range is one contiguous segment of the sorted order — each
-  shard gathers just its segment (padded to the max across shards for SPMD)
-  and segment-sums locally;
-* gate-side quantities (the contributions, indexed by gate) are computed
-  replicated at this scale; sharding the gate sweep + an all_to_all of
-  contributions to destination shards is the >1-HBM extension (§5.8).
+  shard computes and segment-sums just its segment (padded to the max
+  across shards for SPMD);
+* the gate-side sweep is sharded too: each shard evaluates contributions
+  ONLY for the ~|gates|/S gates in its perm segment, with per-gate beta
+  weights from split-half eq tables (two 2^(bl/2) tables + one mul per
+  gate, the initHalfTable trick) instead of full 2^bl tables — no
+  replicated O(#gates) or O(2^bl) work remains in the init path.
 
 Everything composes into ONE shard_map'd jit per circuit; outputs are
 bit-identical to the single-chip prover (field ops are exact, so the psum
@@ -53,13 +55,16 @@ def _plan_block_shards(plan: ScatterPlan, lo: int, size: int, S: int):
     """Partition destinations [lo, lo+size) of a ScatterPlan into S equal
     contiguous destination blocks.
 
-    Returns dict(perm (S, maxlen) int32 padded with N (a synthetic zero
-    contribution), starts/ends (S, blk) int32 into the local prefix array).
-    """
+    Returns dict(perm (S, maxlen) int32 source indices CLAMPED to
+    [0, n-1], valid (S, maxlen) bool marking real entries, starts/ends
+    (S, blk) int32 into the local prefix array).  Contributions are
+    computed per shard directly at the perm indices (the sharded gate
+    sweep), so padding carries an explicit mask instead of the synthetic
+    zero-contribution index."""
     n = len(plan.perm)
     blk = size // S
     assert blk * S == size
-    perms, starts, ends = [], [], []
+    perms, valids, starts, ends = [], [], [], []
     seg_lo = [int(plan.starts[lo + q * blk]) for q in range(S)]
     seg_hi = [int(plan.ends[lo + q * blk + blk - 1]) for q in range(S)]
     maxlen = max(h - l for l, h in zip(seg_lo, seg_hi))
@@ -67,41 +72,52 @@ def _plan_block_shards(plan: ScatterPlan, lo: int, size: int, S: int):
     for q in range(S):
         l, h = seg_lo[q], seg_hi[q]
         pq = plan.perm[l:h].astype(np.int32)
-        pq = np.concatenate([pq, np.full(maxlen - len(pq), n, np.int32)])
-        perms.append(pq)
+        k = len(pq)
+        pq = np.concatenate([pq, np.zeros(maxlen - k, np.int32)])
+        perms.append(np.minimum(pq, max(n - 1, 0)))
+        valids.append(np.arange(maxlen) < k)
         starts.append(plan.starts[lo + q * blk:lo + (q + 1) * blk] - l)
         ends.append(plan.ends[lo + q * blk:lo + (q + 1) * blk] - l)
     return dict(perm=jnp.asarray(np.stack(perms)),
+                valid=jnp.asarray(np.stack(valids)),
                 starts=jnp.asarray(np.stack(starts).astype(np.int32)),
                 ends=jnp.asarray(np.stack(ends).astype(np.int32)))
 
 
 def _plan_block_full(plan: ScatterPlan, lo: int, size: int):
     """The [lo, lo+size) destination block of a plan as replicated arrays
-    (used for tables too small to shard)."""
+    (used for tables too small to shard); same clamped-perm + valid-mask
+    contract as _plan_block_shards."""
+    n = len(plan.perm)
     seg_lo = int(plan.starts[lo])
     seg_hi = int(plan.ends[lo + size - 1])
     pq = plan.perm[seg_lo:seg_hi].astype(np.int32)
-    if len(pq) == 0:
-        pq = np.array([len(plan.perm)], dtype=np.int32)
+    k = len(pq)
+    if k == 0:
+        pq = np.zeros(1, dtype=np.int32)
         seg_lo -= 1  # keep starts/ends >= 0 with the dummy entry
-    return dict(perm=jnp.asarray(pq),
+    valid = np.arange(len(pq)) < k
+    return dict(perm=jnp.asarray(np.minimum(pq, max(n - 1, 0))),
+                valid=jnp.asarray(valid),
                 starts=jnp.asarray((plan.starts[lo:lo + size] -
                                     seg_lo).astype(np.int32)),
                 ends=jnp.asarray((plan.ends[lo:lo + size] -
                                   seg_lo).astype(np.int32)))
 
 
-def _scatter_apply(contrib, pl, sharded: bool):
-    """Segment-sum the [lo..] destination block from `contrib` (2, N).
-    pl arrays are local (leading shard axis already sliced off)."""
-    perm = pl["perm"][0] if sharded else pl["perm"]
-    starts = pl["starts"][0] if sharded else pl["starts"]
-    ends = pl["ends"][0] if sharded else pl["ends"]
-    c = jnp.concatenate([contrib, jnp.zeros((2, 1), jnp.uint64)], axis=1)
-    s = prefix_sum(c[:, perm])
+def _pl_local(pl, sharded: bool):
+    """Slice the leading shard axis off a plan dict inside shard_map."""
+    if sharded:
+        return {k: v[0] for k, v in pl.items()}
+    return pl
+
+
+def _scatter_apply_ordered(c_ordered, pl):
+    """Segment-sum contributions ALREADY in perm order (2, maxlen) into
+    the destination block (padded entries must be zero)."""
+    s = prefix_sum(c_ordered)
     s0 = jnp.concatenate([jnp.zeros((2, 1), jnp.uint64), s], axis=1)
-    return gf.sub(s0[:, ends], s0[:, starts])
+    return gf.sub(s0[:, pl["ends"]], s0[:, pl["starts"]])
 
 
 # ---------------------------------------------------------------------------
@@ -181,6 +197,8 @@ def make_sharded_prover(cc, plans, mesh: Mesh, axis: str = "sp"):
         arrs_rep[f"x{i}"] = jnp.asarray(L.x_idx)
         arrs_rep[f"y{i}"] = jnp.asarray(L.y_idx)
         arrs_rep[f"co{i}"] = jnp.asarray(L.coeff)
+        if L.has_assert:
+            arrs_rep[f"ia{i}"] = jnp.asarray(np.asarray(L.is_assert))
         key = "sh" if is_sharded(bl_prev) else "rep"
         tgt = arrs_sh if key == "sh" else arrs_rep
         if is_sharded(bl_prev):
@@ -232,7 +250,37 @@ def make_sharded_prover(cc, plans, mesh: Mesh, axis: str = "sp"):
         q = jax.lax.axis_index(axis)
         vres = mle_fold(_values_block(values, depth - 1), ch.r_out)
 
-        # ---- phase-1 + Liu inits (sharded scatters / beta slices) -----
+        def halves(r, bl, init):
+            """Split-half eq tables (utils.cpp:8-27): entry g of the full
+            table == lo[g & (2^h - 1)] * hi[g >> h] — field ops are exact
+            and canonical, so regrouped products stay bit-identical."""
+            h = bl // 2
+            lo = beta_table(r[:, :h], h, init)
+            hi = beta_table(r[:, h:bl], bl - h, one)
+            return lo, hi, h
+
+        def at(tabs, idx):
+            lo, hi, h = tabs
+            return gf.mul(lo[:, idx & ((1 << h) - 1)], hi[:, idx >> h])
+
+        def bg_maker(i, r_cur, chl):
+            """Per-gate beta weight via half-table gathers: the O(#gates)
+            gate-side sweep runs on each shard ONLY over that shard's perm
+            segment (~|gates|/S entries), never the full 2^bl_i table."""
+            L = cc.layers[i]
+            tabs = halves(r_cur, L.bit_length, one)
+
+            def bg_at(pg):
+                bg = at(tabs, pg)
+                if L.has_assert:
+                    am = arrs_rep_[f"ia{i}"][pg]
+                    bg = jnp.where(am[None, :],
+                                   gf.mul(bg, chl.assert_r[:, None]), bg)
+                return bg
+
+            return bg_at
+
+        # ---- phase-1 + Liu inits (sharded gate sweep + beta slices) ----
         p1_jobs, liu_jobs = {}, {}
         for i in range(depth - 1, 0, -1):
             L = cc.layers[i]
@@ -244,21 +292,20 @@ def make_sharded_prover(cc, plans, mesh: Mesh, axis: str = "sp"):
             local_n = pre_padded // S if sh else pre_padded
             r_cur = (ch.r_out if i == depth - 1
                      else ch.layers[i + 1].r_liu[:, :L.bit_length])
-            bg_full = beta_table(r_cur, L.bit_length, one)
-            bg_full = protocol._scale_beta_asserts(cc, i, bg_full,
-                                                   chl.assert_r)
-            bg = bg_full[:, :L.size]
-            y = values[:, arrs_rep_[f"y{i}"]]
-            co = arrs_rep_[f"co{i}"]
+            bg_at = bg_maker(i, r_cur, chl)
+            pll = _pl_local((arrs_sh_ if sh else arrs_rep_)[f"p1_{i}"], sh)
+            pg, pv = pll["perm"], pll["valid"][None, :]
+            bg = bg_at(pg)
+            y = values[:, arrs_rep_[f"y{i}"][pg]]
+            co = arrs_rep_[f"co{i}"][:, :, pg]
             A, B, C, D = co[0], co[1], co[2], co[3]
-            add_c = gf.mul(bg, gf.add(gf.mul(B, y), D))
-            mult_c = gf.mul(bg, gf.add(A, gf.mul(C, y)))
-            pl = (arrs_sh_ if sh else arrs_rep_)[f"p1_{i}"]
+            add_c = jnp.where(pv, gf.mul(bg, gf.add(gf.mul(B, y), D)), 0)
+            mult_c = jnp.where(pv, gf.mul(bg, gf.add(A, gf.mul(C, y))), 0)
             vloc = (_local_slice(_values_block(values, i - 1), q, local_n)
                     if sh else _values_block(values, i - 1))
             p1_jobs.setdefault(bl_prev, []).append(
-                (vloc, _scatter_apply(add_c, pl, sh),
-                 _scatter_apply(mult_c, pl, sh), chl.r_u[:, :bl_prev]))
+                (vloc, _scatter_apply_ordered(add_c, pll),
+                 _scatter_apply_ordered(mult_c, pll), chl.r_u[:, :bl_prev]))
 
             # Liu init: bsig slice (sharded tensor product) + consumer parts
             sig = chl.sig
@@ -275,16 +322,19 @@ def make_sharded_prover(cc, plans, mesh: Mesh, axis: str = "sp"):
                 multL = jnp.pad(bsig[:, :pre_size],
                                 ((0, 0), (0, pre_padded - pre_size)))
             if Pl.liu_plan is not None:
-                parts = []
+                pll_l = _pl_local((arrs_sh_ if sh else arrs_rep_)
+                                  [f"liu_{i}"], sh)
+                pg_l, pv_l = pll_l["perm"], pll_l["valid"]
+                contr = jnp.zeros((2, pg_l.shape[0]), jnp.uint64)
                 for (j, ds, bl_jl, offp) in Pl.liu_consumers:
-                    ch_j = ch.layers[j]
-                    bt = beta_table(ch_j.r_v[:, :bl_jl], bl_jl,
+                    tabs_j = halves(ch.layers[j].r_v, bl_jl,
                                     sig[:, j - i + 1])
-                    parts.append(bt[:, :ds])
-                pl_liu = (arrs_sh_ if sh else arrs_rep_)[f"liu_{i}"]
-                multL = gf.add(multL,
-                               _scatter_apply(jnp.concatenate(parts, axis=1),
-                                              pl_liu, sh))
+                    rel = pg_l - offp
+                    inb = (pg_l >= offp) & (pg_l < offp + ds) & pv_l
+                    relc = jnp.clip(rel, 0, (1 << bl_jl) - 1)
+                    contr = gf.add(contr, jnp.where(inb[None, :],
+                                                    at(tabs_j, relc), 0))
+                multL = gf.add(multL, _scatter_apply_ordered(contr, pll_l))
             liu_jobs.setdefault(bl_prev, []).append(
                 (vloc, jnp.zeros_like(multL), multL,
                  chl.r_liu[:, :bl_prev]))
@@ -316,32 +366,33 @@ def make_sharded_prover(cc, plans, mesh: Mesh, axis: str = "sp"):
             claim_u = claims[i]
             r_cur = (ch.r_out if i == depth - 1
                      else ch.layers[i + 1].r_liu[:, :L.bit_length])
-            bg_full = beta_table(r_cur, L.bit_length, one)
-            bg_full = protocol._scale_beta_asserts(cc, i, bg_full,
-                                                   chl.assert_r)
-            bg = bg_full[:, :L.size]
-            co = arrs_rep_[f"co{i}"]
-            A, B, C, D = co[0], co[1], co[2], co[3]
-            beta_u = beta_table(chl.r_u[:, :bl_prev], bl_prev, one)
-            tmp_g = gf.mul(bg, beta_u[:, arrs_rep_[f"x{i}"]])
+            bg_at = bg_maker(i, r_cur, chl)
+            tabs_u = halves(chl.r_u, bl_prev, one)
             cu = claim_u[:, None]
-            addc = gf.mul(tmp_g, gf.add(gf.mul(A, cu), D))
-            mulc = gf.mul(tmp_g, gf.add(B, gf.mul(C, cu)))
             for li in range(i):
                 if L.dad_sizes[li] == 0:
                     continue
                 bl_l = L.dad_bls[li]
                 sh = is_sharded(bl_l)
                 src = arrs_sh_ if sh else arrs_rep_
-                pl = src[f"p2_{i}_{li}"]
+                pll = _pl_local(src[f"p2_{i}_{li}"], sh)
+                pg, pv = pll["perm"], pll["valid"][None, :]
+                tmp_g = gf.mul(bg_at(pg), at(tabs_u,
+                                             arrs_rep_[f"x{i}"][pg]))
+                co = arrs_rep_[f"co{i}"][:, :, pg]
+                A, B, C, D = co[0], co[1], co[2], co[3]
+                addc = jnp.where(pv, gf.mul(tmp_g,
+                                            gf.add(gf.mul(A, cu), D)), 0)
+                mulc = jnp.where(pv, gf.mul(tmp_g,
+                                            gf.add(B, gf.mul(C, cu))), 0)
                 dg = src[f"dg{i}_{li}"]
                 dgm = src[f"dgm{i}_{li}"]
                 if sh:
                     dg, dgm = dg[0], dgm[0]
                 vdad = jnp.where(dgm[None, :], values[:, dg], 0)
                 p2_jobs.setdefault(bl_l, []).append(
-                    (vdad, _scatter_apply(addc, pl, sh),
-                     _scatter_apply(mulc, pl, sh), chl.r_v[:, :bl_l]))
+                    (vdad, _scatter_apply_ordered(addc, pll),
+                     _scatter_apply_ordered(mulc, pll), chl.r_v[:, :bl_l]))
 
         p2_raw = {bl: _fold_group(*job, axis, log_s, is_sharded(bl))
                   for bl, job in sorted(stack(p2_jobs).items())}
@@ -382,8 +433,10 @@ def make_sharded_prover(cc, plans, mesh: Mesh, axis: str = "sp"):
 
 def prove_sharded(circuit, mesh: Mesh, axis: str = "sp", seed: int = 3396,
                   witness: Optional[np.ndarray] = None):
-    """Full sharded prove: sharded GKR + sharded PC (pc_sharded), host query
-    answering from the gathered codewords.  Returns (FullProof, info) with
+    """Full sharded prove: sharded GKR + sharded PC (pc_sharded) with
+    query-sparse answering (sharded_queries) — codewords and Merkle trees
+    stay sharded on device end to end; only the ~33 opened value-pairs and
+    path digests per oracle ever move.  Returns (FullProof, info) with
     output bit-identical to driver.prove."""
     from ..circuits.compile import compile_circuit, input_buffer
     from ..gkr.protocol import build_plans, make_challenges
@@ -391,6 +444,7 @@ def prove_sharded(circuit, mesh: Mesh, axis: str = "sp", seed: int = 3396,
     from ..utils.glibc_rand import GlibcRandom
     from .. import proof_io, driver
     from . import pc_sharded
+    from .sharded_queries import answer_queries_sharded
 
     cc = compile_circuit(circuit)
     plans = build_plans(cc)
@@ -418,36 +472,31 @@ def prove_sharded(circuit, mesh: Mesh, axis: str = "sp", seed: int = 3396,
         randomness.append(gf.from_u64(np.uint64(r), np.uint64(i)).reshape(2))
     out = pc(inputs, q_values, randomness)
 
-    # natural-order codewords for query answering; oracles rebuilt host-side
-    # (a query-sparse DMA path is the >1-HBM follow-up), with the sharded
-    # gather-reduce roots asserted against the rebuilt trees.
-    l_oracle = virgo_pc.make_oracle(
-        jnp.asarray(pc_sharded.unstride(out["l_codeword"], S)))
-    h_oracle = virgo_pc.make_oracle(
-        jnp.asarray(pc_sharded.unstride(out["h_codeword"], S)))
-    level_oracles = [virgo_pc.make_oracle(
-        jnp.asarray(pc_sharded.unstride(cw, S)))
-        for cw in out["level_codewords"]]
-    assert np.array_equal(np.asarray(out["root_l"]),
-                          np.asarray(l_oracle.tree[:, 1]))
-    assert np.array_equal(np.asarray(out["root_h"]),
-                          np.asarray(h_oracle.tree[:, 1]))
-    for r_sh, o in zip(out["level_roots"], level_oracles):
-        assert np.array_equal(np.asarray(r_sh), np.asarray(o.tree[:, 1]))
-
-    l_host = vpd.OracleHost.of(l_oracle)
-    h_host = vpd.OracleHost.of(h_oracle)
-    level_hosts = [vpd.OracleHost.of(o) for o in level_oracles]
+    lg = bl0 + virgo_pc.RATE - virgo_pc.LOG_SLICE
+    l_desc, h_desc, level_descs = pc_sharded.oracle_descs(out, S, lg)
     pows = vpd.draw_positions(rng, bl0)
-    answers, query_size = vpd.answer_queries(pows, bl0, l_host, h_host,
-                                             level_hosts)
-    level_roots = np.stack([np.asarray(h.tree[:, 1]) for h in level_hosts])
+    answers, query_size = answer_queries_sharded(pows, bl0, l_desc, h_desc,
+                                                 level_descs)
+
+    # measured per-device PC state: the sharded arrays actually resident
+    # after the prove (1/S of each codeword/subtree buffer per device) vs
+    # what a host gather of every codeword would cost (the r3 design)
+    sharded_keys = ("l_codeword", "h_codeword", "level_codewords",
+                    "l_sub", "h_sub", "level_subs")
+    per_dev = full_cw = 0
+    for k, v in out.items():
+        for arr in (v if isinstance(v, list) else [v]):
+            nb = arr.size * arr.dtype.itemsize
+            per_dev += nb // S if k in sharded_keys else nb
+            if k in ("l_codeword", "h_codeword", "level_codewords"):
+                full_cw += nb
+    level_roots = np.stack([np.asarray(r) for r in out["level_roots"]])
     full = proof_io.FullProof(
         vres=np.asarray(proof.vres),
         layers=[None] + [driver._layer_proof_arrays(proof.layers[i])
                          for i in range(1, cc.depth)],
-        root_l=np.asarray(l_oracle.tree[:, 1]),
-        root_h=np.asarray(h_oracle.tree[:, 1]),
+        root_l=np.asarray(out["root_l"]),
+        root_h=np.asarray(out["root_h"]),
         all_sum=np.asarray(out["all_sum"]),
         level_roots=level_roots,
         final_codeword=np.asarray(pc_sharded.unstride(
@@ -458,5 +507,7 @@ def prove_sharded(circuit, mesh: Mesh, axis: str = "sp", seed: int = 3396,
     info = dict(prove_time=time.time() - t0,
                 gkr_proof_size=driver.gkr_proof_size_bytes(cc),
                 pc_proof_size=fg.proof_size + query_size + 2 * 32 + 16,
-                fft_gkr_ok=fg.ok)
+                fft_gkr_ok=fg.ok,
+                per_device_pc_bytes=per_dev,
+                full_codeword_bytes=full_cw)
     return full, info

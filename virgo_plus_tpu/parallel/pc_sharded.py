@@ -40,8 +40,9 @@ from ..pc.virgo_pc import LOG_SLICE, SLICES, RATE
 
 
 def sharded_commit_private(mesh: Mesh, axis: str, bl: int):
-    """Returns fn(values (2, 2^bl)) -> (root (4,), codeword_strided) with
-    the commit pipeline sharded over `axis`."""
+    """Returns fn(values (2, 2^bl)) -> (root (4,), sub, top,
+    codeword_strided) with the commit pipeline sharded over `axis`
+    (sub/top = query-sparse tree parts, see _local_tree)."""
     S = mesh.shape[axis]
     log_s = S.bit_length() - 1
     assert 1 << log_s == S
@@ -66,7 +67,8 @@ def sharded_commit_private(mesh: Mesh, axis: str, bl: int):
     sub_depth = leaf_per_shard.bit_length() - 1
 
     @partial(shard_map, mesh=mesh, in_specs=(P(None, None),),
-             out_specs=(P(None), P(None, None, axis)),
+             out_specs=(P(None), P(None, axis), P(None),
+                        P(None, None, axis)),
              check_vma=False)
     def run(values):
         q = jax.lax.axis_index(axis)
@@ -83,7 +85,8 @@ def sharded_commit_private(mesh: Mesh, axis: str, bl: int):
                          in_axes=1, out_axes=1)(c2)         # (2, 64, L)
         mask = jnp.zeros((2, 1, L), jnp.uint64)
         cw = jnp.concatenate([local, mask], axis=1)         # (2, 65, L)
-        return _local_root(cw, axis, S), cw
+        root, sub, top = _local_tree(cw, axis, S)
+        return root, sub, top, cw
 
     return jax.jit(run)
 
@@ -113,15 +116,25 @@ def _coset_table(base_int, S: int):
     return jnp.asarray(out)
 
 
-def _local_root(cw, axis: str, S: int):
-    """Inside shard_map: (2, 65, L) local strided codeword -> replicated
-    (4,) Merkle root, bit-identical to the single-chip oracle.
+def _local_tree(cw, axis: str, S: int):
+    """Inside shard_map: (2, 65, L) local strided codeword ->
+    (root (4,) replicated, sub (4, nsub) per-shard subtree digests,
+    top (4, ntop) replicated top levels).
 
     Leaf j packs pairs (j, j + N/2) of all 65 slices; with the strided
     layout both elements are local (j and j+N/2 share a residue mod S),
     so chains cost zero communication.  One all_to_all re-blocks digests
-    to contiguous leaf ranges, each shard reduces its subtree, and the S
-    subtree roots finish replicated."""
+    to contiguous leaf ranges (shard q then owns global leaves
+    [q*half, (q+1)*half)), each shard reduces its subtree keeping every
+    level, and the S subtree roots finish replicated.
+
+    Digest layout (the query-sparse answering contract, see
+    ShardedOracle): ``sub`` concatenates the shard's subtree levels
+    bottom-up (sizes half, half/2, .., 1 -> nsub = 2*half - 1); ``top``
+    concatenates the global levels above bottom-up (sizes S, S/2, .., 1
+    -> ntop = 2*S - 1, first S entries = the subtree roots).  When
+    half < S (tiny codeword) sub is a (4, 1) dummy and top holds the
+    WHOLE tree's levels bottom-up (sizes n_leaf .. 1)."""
     L = cw.shape[2]
     half = L // 2
     x = cw[:, :, :half]
@@ -139,22 +152,33 @@ def _local_root(cw, axis: str, S: int):
         send = leaves.reshape(4, S, blk)
         recv = jax.lax.all_to_all(send, axis, split_axis=1, concat_axis=1,
                                   tiled=False)
-        sub = jnp.transpose(recv, (0, 2, 1)).reshape(4, n_leaf_local)
-        cur = sub
+        sub_levels = [jnp.transpose(recv, (0, 2, 1)).reshape(4,
+                                                             n_leaf_local)]
+        cur = sub_levels[0]
         while cur.shape[1] > 1:
             cur = sha3_256_x64(jnp.concatenate([cur[:, 0::2], cur[:, 1::2]],
                                                axis=0))
+            sub_levels.append(cur)
+        sub = jnp.concatenate(sub_levels, axis=1)     # (4, 2*half - 1)
         roots = jnp.moveaxis(jax.lax.all_gather(cur[:, 0], axis), 0, 1)
     else:
         # tiny level: gather all leaf digests and finish replicated
+        sub = jnp.zeros((4, 1), jnp.uint64)
         g = jnp.moveaxis(jax.lax.all_gather(leaves, axis), 0, 1)  # (4,S,hf)
         # global leaf t*S + q sits at gathered [q, t] -> natural order
         roots = jnp.transpose(g, (0, 2, 1)).reshape(4, S * n_leaf_local)
+    top_levels = [roots]
     lvl = roots
     while lvl.shape[1] > 1:
         lvl = sha3_256_x64(jnp.concatenate([lvl[:, 0::2], lvl[:, 1::2]],
                                            axis=0))
-    return lvl[:, 0]
+        top_levels.append(lvl)
+    top = jnp.concatenate(top_levels, axis=1)
+    return lvl[:, 0], sub, top
+
+
+def _local_root(cw, axis: str, S: int):
+    return _local_tree(cw, axis, S)[0]
 
 
 def sharded_commit_public(mesh: Mesh, axis: str, bl: int):
@@ -189,8 +213,8 @@ def sharded_commit_public(mesh: Mesh, axis: str, bl: int):
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(None, None, axis), P(None, None)),
-             out_specs=(P(None), P(None, None), P(None, None, axis),
-                        P(None, None, axis)),
+             out_specs=(P(None), P(None, axis), P(None), P(None, None),
+                        P(None, None, axis), P(None, None, axis)),
              check_vma=False)
     def run(l_local, q_values):
         q = jax.lax.axis_index(axis)
@@ -238,8 +262,8 @@ def sharded_commit_public(mesh: Mesh, axis: str, bl: int):
         h_full = jnp.concatenate(
             [h_local, jnp.zeros((2, 1, L), jnp.uint64)], axis=1)
 
-        root_h = _local_root(h_full, axis, S)
-        return root_h, all_sum, vo, h_full
+        root_h, sub_h, top_h = _local_tree(h_full, axis, S)
+        return root_h, sub_h, top_h, all_sum, vo, h_full
 
     return jax.jit(run)
 
@@ -293,6 +317,20 @@ def sharded_oracle_root(mesh: Mesh, axis: str):
     return jax.jit(run)
 
 
+def sharded_oracle_tree(mesh: Mesh, axis: str):
+    """fn(cw_local strided (2,65,L)) -> (root (4,), sub (4, S*nsub)
+    sharded, top (4, ntop) replicated) — the query-sparse tree parts
+    (parallel/sharded_queries.ShardedOracle layout)."""
+    S = mesh.shape[axis]
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(None, None, axis),),
+             out_specs=(P(None), P(None, axis), P(None)), check_vma=False)
+    def run(cw_local):
+        return _local_tree(cw_local, axis, S)
+
+    return jax.jit(run)
+
+
 def unstride(cw_strided, S: int):
     """(2, 65, ss) shard-major device output -> natural position order."""
     cw = np.asarray(cw_strided)
@@ -310,9 +348,11 @@ def sharded_pc_prove(mesh: Mesh, axis: str, bl: int):
     public commit, and every LDT fold level sharded over `axis`.
 
     Returns fn(values (2,2^bl), q_values (2,2^bl), randomness list of (2,))
-    -> dict with root_l, root_h, all_sum, level roots, and the natural-
-    order codewords (gathered host-side for query answering; a
-    query-sparse DMA path is the scale-out follow-up).
+    -> dict with root/sub/top tree parts per oracle (the query-sparse
+    layout of parallel/sharded_queries.ShardedOracle) and the strided
+    codewords, ALL left sharded on device — nothing is gathered, so
+    per-device memory stays O(full/S) (the >1-HBM requirement,
+    PODSLICE.md).  Query answering uses sharded_queries.
 
     The whole pipeline compiles as ONE jit: an eagerly-dispatched shard_map
     pays a full lower+compile per call (~minutes on the CPU mesh), so the
@@ -321,7 +361,7 @@ def sharded_pc_prove(mesh: Mesh, axis: str, bl: int):
     lg = bl + RATE - LOG_SLICE
     commit_fn = sharded_commit_private(mesh, axis, bl)
     public_fn = sharded_commit_public(mesh, axis, bl)
-    root_fn = sharded_oracle_root(mesh, axis)
+    tree_fn = sharded_oracle_tree(mesh, axis)
     fold_fns = {}
     cur_lg = lg
     while (1 << cur_lg) > (1 << RATE):
@@ -330,20 +370,43 @@ def sharded_pc_prove(mesh: Mesh, axis: str, bl: int):
 
     @jax.jit
     def run(values, q_values, randomness):
-        root_l, l_strided = commit_fn(values)
-        root_h, all_sum, vo, h_strided = public_fn(l_strided, q_values)
+        root_l, l_sub, l_top, l_strided = commit_fn(values)
+        root_h, h_sub, h_top, all_sum, vo, h_strided = public_fn(
+            l_strided, q_values)
         levels = []
         cur = vo
         cur_lg = lg
         for r in randomness:
             cur = fold_fns[cur_lg](cur, r)
             cur_lg -= 1
-            levels.append((root_fn(cur), cur))
+            levels.append((tree_fn(cur), cur))
         return dict(
-            root_l=root_l, root_h=root_h, all_sum=all_sum,
+            root_l=root_l, l_sub=l_sub, l_top=l_top,
+            root_h=root_h, h_sub=h_sub, h_top=h_top,
+            all_sum=all_sum,
             l_codeword=l_strided, h_codeword=h_strided,
-            level_roots=[lv[0] for lv in levels],
+            level_roots=[lv[0][0] for lv in levels],
+            level_subs=[lv[0][1] for lv in levels],
+            level_tops=[lv[0][2] for lv in levels],
             level_codewords=[lv[1] for lv in levels],
             final_codeword=levels[-1][1])
 
     return run
+
+
+def oracle_descs(out: dict, S: int, lg: int):
+    """sharded_pc_prove output -> (l_desc, h_desc, level_descs) for
+    parallel/sharded_queries.answer_queries_sharded."""
+    from .sharded_queries import ShardedOracle
+
+    def mk(cw, sub, top, n):
+        return ShardedOracle(cw=cw, sub=sub, top=np.asarray(top), n=n, S=S)
+
+    n0 = 1 << lg
+    l_desc = mk(out["l_codeword"], out["l_sub"], out["l_top"], n0)
+    h_desc = mk(out["h_codeword"], out["h_sub"], out["h_top"], n0)
+    level_descs = [
+        mk(cw, sub, top, n0 >> (k + 1))
+        for k, (cw, sub, top) in enumerate(zip(
+            out["level_codewords"], out["level_subs"], out["level_tops"]))]
+    return l_desc, h_desc, level_descs

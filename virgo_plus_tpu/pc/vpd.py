@@ -166,8 +166,6 @@ def answer_queries(pows: List[int], bl: int, l_host: OracleHost,
     """Prover side: vectorized gathers of value pairs and Merkle paths for
     every query.  Also computes the reference's deduplicated proof size."""
     lg0 = bl + RATE - LOG_SLICE
-    acct = SizeAccount(bl, len(level_hosts))
-    proof_size = 0
     pows_np = np.asarray(pows, dtype=np.int64)
     p0s = pows_np // 2
     init_l_vals = _gather_vals(l_host.codeword, p0s)
@@ -182,23 +180,34 @@ def answer_queries(pows: List[int], bl: int, l_host: OracleHost,
         bps = (pw // 2) % (host.n // 2)
         lvl_vals.append(_gather_vals(host.codeword, bps))
         lvl_paths.append(_gather_paths(host.tree, bps))
-    # dedup size accounting (sequential by construction: the bitmaps carry
-    # state across repetitions exactly as fri.cpp:148-287 does)
-    for r, pow0 in enumerate(pows):
-        p0 = pow0 // 2
-        ppos = _path_positions(p0, l_host.n // 2)
-        acct.init_query(0, p0, lg0 - 1, ppos)
-        proof_size += acct.init_query(1, p0, lg0 - 1, ppos)
-        pw = pow0
-        for lvl, host in enumerate(level_hosts):
-            if lvl > 0:
-                pw = pw % (1 << (lg0 - lvl))
-            bp = (pw // 2) % (host.n // 2)
-            proof_size += acct.step_query(lvl, bp,
-                                          _path_positions(bp, host.n // 2))
+    proof_size = dedup_proof_size(pows, bl, len(level_hosts))
     return QueryAnswers(init_l_vals=init_l_vals, init_l_paths=init_l_paths,
                         init_h_vals=init_h_vals, init_h_paths=init_h_paths,
                         lvl_vals=lvl_vals, lvl_paths=lvl_paths), proof_size
+
+
+def dedup_proof_size(pows: List[int], bl: int, n_levels: int) -> int:
+    """The reference's deduplicated opening size in bytes (positions-only
+    computation; sequential by construction — the bitmaps carry state
+    across repetitions exactly as fri.cpp:148-287 does)."""
+    lg0 = bl + RATE - LOG_SLICE
+    n_init_leaf = 1 << (lg0 - 1)
+    acct = SizeAccount(bl, n_levels)
+    proof_size = 0
+    for pow0 in pows:
+        p0 = pow0 // 2
+        ppos = _path_positions(p0, n_init_leaf)
+        acct.init_query(0, p0, lg0 - 1, ppos)
+        proof_size += acct.init_query(1, p0, lg0 - 1, ppos)
+        pw = pow0
+        for lvl in range(n_levels):
+            if lvl > 0:
+                pw = pw % (1 << (lg0 - lvl))
+            n_leaf = 1 << (lg0 - lvl - 2)
+            bp = (pw // 2) % n_leaf
+            proof_size += acct.step_query(lvl, bp,
+                                          _path_positions(bp, n_leaf))
+    return proof_size
 
 
 def _leaf_digests(vals: np.ndarray) -> List[bytes]:

@@ -23,6 +23,25 @@ import time
 from collections import defaultdict
 from dataclasses import dataclass, field
 
+# ---------------------------------------------------------------------------
+# Speed-of-light constants (single source: benches/micro.py and the CLI
+# consume these — do not re-declare them elsewhere).
+#
+# v5e per-chip roofline: protocol kernels are VPU/bitwise-bound, so the
+# relevant compute ceiling is the int32 ALU rate — (8, 128) lanes x ~4
+# int32 ALUs x ~0.94 GHz — not the MXU TOPS figure.
+PEAK_INT32_OPS = 3.85e12
+HBM_BYTES_S = 8.2e11
+
+# Analytic int32-op costs of the field kernels as lowered on TPU
+# (field/gf.py): one base-field u64 'mymult' = 4 u32 partial products +
+# ~10 shift/mask/add u64 ops (~2 int32 ops each) ~= 36 int32 ops; a GF(p^2)
+# mul is 3 mymults + ~14 u64 add/fold ops ~= 136; a field add ~= 8.
+OPS_FIELD_MUL = 136
+OPS_FIELD_ADD = 8
+# keccak-f[1600]: 24 rounds x ~76 u64 bit-ops x 2 int32 ops each
+OPS_KECCAK = 24 * 76 * 2
+
 
 @dataclass
 class OpCounts:
