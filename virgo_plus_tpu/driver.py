@@ -28,17 +28,13 @@ import jax.numpy as jnp
 
 from .config import ProtocolConfig, DEFAULT as DEFAULT_CONFIG
 from .utils import metrics
-from .field import gf
 from .field.ref import Fq2
 from .utils.glibc_rand import GlibcRandom
 from .circuits.pws import parse_pws
 from .circuits.layered import dag_to_layered, subset_init, LayeredCircuit
 from .circuits.compile import compile_circuit, input_buffer
 from .gkr import protocol
-from .gkr.beta import beta_table
-from .gkr.sumcheck import tree_sum
 from .pc import virgo_pc, vpd, fft_gkr
-from .pc.fft import ifft
 from . import proof_io
 
 
@@ -95,10 +91,13 @@ class CompiledProver:
     evaluator: object
     prover: object
     verifier: object
-    commit_fn: object
-    commit_pub_fn: object
-    folds_fn: object
-    q_prepare_fn: object
+    pc: object           # PolynomialCommitment (pc/interface.py seam)
+    pc_fns: object       # its compiled per-size pipelines (opaque)
+
+    @property
+    def q_prepare_fn(self):
+        # exposed for the FS mode, which shares the q-side pipeline
+        return self.pc_fns["q_prepare"]
 
 
 def load_circuit(pws_path: str, bug_compat: bool = True,
@@ -122,33 +121,22 @@ def load_circuit(pws_path: str, bug_compat: bool = True,
     return c
 
 
-def compile_prover(c: LayeredCircuit) -> CompiledProver:
+def compile_prover(c: LayeredCircuit,
+                   pc: Optional[object] = None) -> CompiledProver:
+    """pc: a pc.interface.PolynomialCommitment; defaults to the Virgo VPD
+    (the reference's USE_VIRGO branch, config_pc.hpp:8-13)."""
+    from .pc.interface import DEFAULT_PC
+
     cc = compile_circuit(c)
     plans = protocol.build_plans(cc)
     bl0 = cc.layers[0].bit_length
-    srec_lg = bl0 - virgo_pc.LOG_SLICE
-    rou_small = gf.root_of_unity_int(srec_lg)
-
-    def q_prepare(fp):
-        """verifier-side q coefficients: beta table at the final point,
-        per-slice IFFT (verifier.cpp:348-361)."""
-        q_values = beta_table(fp, bl0, gf.ones(()))
-        sl = q_values.reshape(2, virgo_pc.SLICES, 1 << srec_lg)
-        coefs = jax.vmap(lambda v: ifft(v, rou_small),
-                         in_axes=1, out_axes=1)(sl)
-        return q_values, coefs
-
+    pc = pc or DEFAULT_PC
     return CompiledProver(
         cc=cc, plans=plans,
         evaluator=protocol.make_evaluator(cc),
         prover=protocol.make_prover(cc, plans),
         verifier=protocol.make_verifier(cc),
-        commit_fn=jax.jit(lambda v: virgo_pc.commit_private(v, bl0)),
-        commit_pub_fn=jax.jit(
-            lambda l_eval, q: virgo_pc.commit_public(l_eval, q, bl0)),
-        folds_fn=jax.jit(
-            lambda vo, rands: virgo_pc.commit_phase(vo, bl0, list(rands))),
-        q_prepare_fn=jax.jit(q_prepare))
+        pc=pc, pc_fns=pc.compile(bl0))
 
 
 def _layer_proof_arrays(lp: protocol.LayerProof) -> dict:
@@ -182,49 +170,24 @@ def prove(circuit: LayeredCircuit, compiled: Optional[CompiledProver] = None,
     _check_asserts(cc, values)
     rng = GlibcRandom(seed)
 
-    l_oracle, _ = cp.commit_fn(inputs)
+    pc_state, root_l = cp.pc.commit_private(cp.pc_fns, inputs)
     ch = protocol.make_challenges(cc, rng)
     proof = cp.prover(values, ch)
     final_point = ch.layers[1].r_liu[:, :bl0]
 
-    q_values, _ = cp.q_prepare_fn(final_point)
-    h_oracle, q_eval, q_coefs, all_sum, vo = cp.commit_pub_fn(
-        l_oracle.codeword, q_values)
-
-    fg = fft_gkr.run(bl0 - virgo_pc.LOG_SLICE, rng)
-
-    n_folds = bl0 - virgo_pc.LOG_SLICE
-    randomness = []
-    for _ in range(n_folds):
-        r, i = rng.field_element()
-        randomness.append(gf.from_u64(np.uint64(r), np.uint64(i)).reshape(2))
-    ldt = virgo_pc.commit_phase(vo, bl0, randomness)
-
-    l_host = vpd.OracleHost.of(l_oracle)
-    h_host = vpd.OracleHost.of(h_oracle)
-    level_hosts = [vpd.OracleHost.of(o) for o in ldt.oracles]
-    pows = vpd.draw_positions(rng, bl0)
-    answers, query_size = vpd.answer_queries(pows, bl0, l_host, h_host,
-                                             level_hosts)
-
-    level_roots = np.stack([np.asarray(h.tree[:, 1]) for h in level_hosts])
+    fields, pc_proof_size, flags = cp.pc.open(cp.pc_fns, pc_state,
+                                              final_point, rng)
     full = proof_io.FullProof(
         vres=np.asarray(proof.vres),
         layers=[None] + [_layer_proof_arrays(proof.layers[i])
                          for i in range(1, cc.depth)],
-        root_l=np.asarray(l_oracle.tree[:, 1]),
-        root_h=np.asarray(h_oracle.tree[:, 1]),
-        all_sum=np.asarray(all_sum),
-        level_roots=level_roots,
-        final_codeword=np.asarray(ldt.final_codeword),
-        fft_gkr_messages=fg.messages,
-        queries=answers,
-        meta=dict(seed=seed, bl0=bl0, depth=cc.depth))
+        root_l=root_l,
+        meta=dict(seed=seed, bl0=bl0, depth=cc.depth),
+        **fields)
 
     info = dict(prove_time=time.time() - t0,
                 gkr_proof_size=gkr_proof_size_bytes(cc),
-                pc_proof_size=fg.proof_size + query_size + 2 * 32 + 16,
-                fft_gkr_ok=fg.ok)
+                pc_proof_size=pc_proof_size, **flags)
     return full, info
 
 
@@ -256,39 +219,10 @@ def verify(circuit: LayeredCircuit, full: proof_io.FullProof,
         None if output_values is None else jnp.asarray(output_values))
     gkr_ok = bool(gkr_ok)
 
-    # q-side preparation (verifier's own FFT work, delegated via fft_gkr)
-    q_values, q_coefs = cp.q_prepare_fn(final_point)
-
-    fg = fft_gkr.run(bl0 - virgo_pc.LOG_SLICE, rng,
-                     replay=full.fft_gkr_messages)
-
-    n_folds = bl0 - virgo_pc.LOG_SLICE
-    rand_fq2 = []
-    for _ in range(n_folds):
-        r, i = rng.field_element()
-        rand_fq2.append(Fq2.raw(r, i))
-
-    pows = vpd.draw_positions(rng, bl0)
-    all_sum_np = np.asarray(full.all_sum)
-    all_sum_fq2 = [Fq2.raw(int(all_sum_np[0, k]), int(all_sum_np[1, k]))
-                   for k in range(virgo_pc.SLICES + 1)]
-    lroots = [full.level_roots[k].tobytes()
-              for k in range(full.level_roots.shape[0])]
-    pc_ok = vpd.check_queries(
-        pows, full.queries, bl0, rand_fq2, lroots, np.asarray(q_coefs),
-        all_sum_fq2, np.asarray(full.root_l).tobytes(),
-        np.asarray(full.root_h).tobytes(), full.final_codeword)
-
-    # claimed inner product == GKR's surviving input claim; additionally
-    # bind sum(all_sum) to it (our soundness fix, see module docstring)
-    ps = Fq2.raw(int(np.asarray(previous_sum)[0]),
-                 int(np.asarray(previous_sum)[1]))
-    tot = Fq2.raw(0, 0)
-    for x in all_sum_fq2:
-        tot = tot + x
-    input_check = (tot == ps)
-
-    pc_ok = bool(pc_ok) and fg.ok and input_check
+    # PC opening check through the seam (q-side FFT delegation, FRI query
+    # walks, inner-product binding — pc/interface.py)
+    pc_ok, pc_details = cp.pc.verify_opening(cp.pc_fns, full, final_point,
+                                             previous_sum, rng)
     vt = time.time() - t0
     slow = getattr(cp.verifier, "last_split", (0.0, 0.0))[1]
     return Report(
@@ -297,7 +231,7 @@ def verify(circuit: LayeredCircuit, full: proof_io.FullProof,
         gkr_proof_size=gkr_proof_size_bytes(cc),
         pc_proof_size=0,
         verify_time=vt, verify_time_fast=vt - slow, verify_time_slow=slow,
-        details=dict(fft_gkr_ok=fg.ok, input_check=input_check))
+        details=dict(pc_details))
 
 
 def prove_fs(circuit: LayeredCircuit,
@@ -318,7 +252,7 @@ def prove_fs(circuit: LayeredCircuit,
 
     inputs = input_buffer(cc, witness)
     values = cp.evaluator(inputs)
-    l_oracle, _ = cp.commit_fn(inputs)
+    l_oracle, _ = cp.pc_fns["commit"](inputs)
     root_l = l_oracle.tree[:, 1]
 
     fs_prover = getattr(cp, "_fs_prover", None)
