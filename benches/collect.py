@@ -59,7 +59,10 @@ def run_one(name, timeout=None):
             except json.JSONDecodeError:
                 continue
             # only ingest result-shaped objects, not stray debug dicts
-            if isinstance(obj, dict) and "metric" in obj:
+            # (scenario benches print {"metric": ...}, micro prints
+            # {"kernel": ...} per-kernel records + one {"backend": ...})
+            if isinstance(obj, dict) and (
+                    "metric" in obj or "kernel" in obj or "backend" in obj):
                 lines.append(obj)
     rec = {"results": lines, "wall_s": round(time.time() - t0, 1),
            "rc": p.returncode}

@@ -130,9 +130,35 @@ def fs_scan_sumcheck(v, a, m, bl: int, D):
     return polys, jnp.moveaxis(rs, 0, 1), (fv[:, 0], fa[:, 0], fm[:, 0]), D
 
 
-def fs_prove(cc, plans, values, root_l):
+def fs_arrays(cc, plans) -> dict:
+    """Per-layer index/coefficient/scatter arrays for fs_prove, passed as
+    jit ARGUMENTS (closure capture inlines them as dense MLIR constants —
+    the SHA256_64 fs module reached 17 MB and the TPU compile helper was
+    OOM-killed; protocol.circuit_arrays documents the same rule)."""
+    arrs = {}
+    for i in range(1, cc.depth):
+        L = cc.layers[i]
+        P = plans[i]
+        arrs[f"x{i}"] = jnp.asarray(L.x_idx)
+        arrs[f"y{i}"] = jnp.asarray(L.y_idx)
+        arrs[f"co{i}"] = jnp.asarray(L.coeff)
+        arrs[f"p1P{i}"] = P.p1.arrays()
+        if P.p2 is not None:
+            arrs[f"p2P{i}"] = P.p2.arrays()
+            arrs[f"dg{i}"] = jnp.asarray(np.clip(L.dad_gather_idx, 0, None))
+            arrs[f"dgm{i}"] = jnp.asarray(L.dad_gather_idx >= 0)[None, :]
+        if P.liu_plan is not None:
+            arrs[f"liuP{i}"] = P.liu_plan.arrays()
+    return arrs
+
+
+def fs_prove(cc, plans, values, root_l, arrs=None):
     """Non-interactive GKR proof: one device computation, challenges from
-    the sponge.  Returns (Proof, challenges-as-Challenges, final state)."""
+    the sponge.  Returns (Proof, challenges-as-Challenges, final state).
+    arrs: fs_arrays(cc, plans) passed as jit arguments (None falls back to
+    closure capture — only safe for small circuits / CPU tests)."""
+    if arrs is None:
+        arrs = fs_arrays(cc, plans)
     depth = cc.depth
     D = init_state()
     D = absorb_elems(D, jnp.stack([root_l[:2], root_l[2:]], axis=1))
@@ -160,12 +186,13 @@ def fs_prove(cc, plans, values, root_l):
         bg_full = beta_table(r_cur, L.bit_length, one)
         bg_full = protocol._scale_beta_asserts(cc, i, bg_full, assert_r)
         bg = bg_full[:, :L.size]
-        y = values[:, L.y_idx]
-        A, B, C, Dc = L.coeff[0], L.coeff[1], L.coeff[2], L.coeff[3]
+        y = values[:, arrs[f"y{i}"]]
+        co = arrs[f"co{i}"]
+        A, B, C, Dc = co[0], co[1], co[2], co[3]
         add_c = gf.mul(bg, gf.add(gf.mul(B, y), Dc))
         mult_c = gf.mul(bg, gf.add(A, gf.mul(C, y)))
-        tmp_add = P.p1.apply(add_c)
-        tmp_mult = P.p1.apply(mult_c)
+        tmp_add = P.p1.apply(add_c, arrs[f"p1P{i}"])
+        tmp_mult = P.p1.apply(mult_c, arrs[f"p1P{i}"])
         tmp_v = protocol._values_block(cc, values, i - 1)
         p1_polys, r_u, (claim_u, _, _), D = fs_scan_sumcheck(
             tmp_v, tmp_add, tmp_mult, bl_prev, D)
@@ -177,15 +204,13 @@ def fs_prove(cc, plans, values, root_l):
         if L.max_dad_bit_length >= 0:
             mdb = L.max_dad_bit_length
             beta_u = beta_table(r_u, bl_prev, one)
-            tmp_g = gf.mul(bg, beta_u[:, L.x_idx])
+            tmp_g = gf.mul(bg, beta_u[:, arrs[f"x{i}"]])
             cu = claim_u[:, None]
             addv_c = gf.mul(tmp_g, gf.add(gf.mul(A, cu), Dc))
             multv_c = gf.mul(tmp_g, gf.add(B, gf.mul(C, cu)))
-            addV = P.p2.apply(addv_c)
-            multV = P.p2.apply(multv_c)
-            dg = L.dad_gather_idx
-            vdad = jnp.where(jnp.asarray(np.asarray(dg) >= 0)[None, :],
-                             values[:, jnp.clip(dg, 0)], 0)
+            addV = P.p2.apply(addv_c, arrs[f"p2P{i}"])
+            multV = P.p2.apply(multv_c, arrs[f"p2P{i}"])
+            vdad = jnp.where(arrs[f"dgm{i}"], values[:, arrs[f"dg{i}"]], 0)
             # FS phase 2 runs the tables JOINTLY round by round: rounds
             # must share challenges across tables, so we fold all tables
             # with a shared scan over the concatenated buffer, handling
@@ -281,7 +306,8 @@ def fs_prove(cc, plans, values, root_l):
                                 sig[:, j - i + 1])
                 parts.append(bt[:, :ds])
             contr = jnp.concatenate(parts, axis=1)
-            multL = gf.add(multL, P.liu_plan.apply(contr))
+            multL = gf.add(multL, P.liu_plan.apply(contr,
+                                                   arrs[f"liuP{i}"]))
         addL = jnp.zeros_like(multL)
         liu_polys, r_liu, (liu_claim, _, _), D = fs_scan_sumcheck(
             tmp_v, addL, multL, bl_prev, D)
@@ -300,7 +326,10 @@ def fs_prove(cc, plans, values, root_l):
 
 
 def make_fs_prover(cc, plans):
-    return jax.jit(lambda values, root_l: fs_prove(cc, plans, values, root_l))
+    arrs = fs_arrays(cc, plans)
+    f = jax.jit(lambda values, root_l, arrs_:
+                fs_prove(cc, plans, values, root_l, arrs_))
+    return lambda values, root_l: f(values, root_l, arrs)
 
 
 # ---------------------------------------------------------------------------
