@@ -177,6 +177,24 @@ def fs_prove(cc, plans, values, root_l, arrs=None):
     # Liu-phase beta contributions need consumer challenges (r_v of higher
     # layers) — available since layers are processed top-down.
     for i in range(depth - 1, 0, -1):
+        rvs = {f"rv{j}": ch_layers[j].r_v
+               for (j, _ds, _bl, _off) in plans[i].liu_consumers if j != i}
+        lp, chl, D = _fs_layer(cc, plans, i, values, r_cur, D, rvs, arrs)
+        layer_proofs[i] = lp
+        ch_layers[i] = chl
+        r_cur = chl.r_liu
+
+    proof = protocol.Proof(vres=vres, layers=layer_proofs)
+    ch = protocol.Challenges(r_out=r_out, layers=ch_layers)
+    return proof, ch, D
+
+
+def _fs_layer(cc, plans, i, values, r_cur, D, rvs, arrs):
+    """One layer of the FS walk (phase 1 + joint phase 2 + Liu) with every
+    challenge squeezed from the sponge.  rvs: {f"rv{j}": r_v} of consumer
+    layers j > i (already processed).  Returns (LayerProof,
+    LayerChallenges, new sponge state)."""
+    if True:
         L = cc.layers[i]
         P = plans[i]
         bl_prev = cc.layers[i - 1].bit_length
@@ -301,7 +319,7 @@ def fs_prove(cc, plans, values, root_l, arrs=None):
             for (j, ds, bl_jl, off) in P.liu_consumers:
                 # j == i is this layer's own dad table: its r_v was just
                 # drawn above; higher layers were processed earlier.
-                rv_j = r_v if j == i else ch_layers[j].r_v
+                rv_j = r_v if j == i else rvs[f"rv{j}"]
                 bt = beta_table(rv_j[:, :bl_jl], bl_jl,
                                 sig[:, j - i + 1])
                 parts.append(bt[:, :ds])
@@ -313,23 +331,69 @@ def fs_prove(cc, plans, values, root_l, arrs=None):
             tmp_v, addL, multL, bl_prev, D)
         D = absorb_elems(D, liu_claim[:, None])
 
-        layer_proofs[i] = protocol.LayerProof(
+        lp = protocol.LayerProof(
             p1_polys=p1_polys, claim_u=claim_u, p2_polys=p2_polys,
             claims_v=claims_v, liu_polys=liu_polys, liu_claim=liu_claim)
-        ch_layers[i] = protocol.LayerChallenges(
+        chl = protocol.LayerChallenges(
             r_u=r_u, assert_r=assert_r, r_v=r_v, sig=sig, r_liu=r_liu)
-        r_cur = r_liu
-
-    proof = protocol.Proof(vres=vres, layers=layer_proofs)
-    ch = protocol.Challenges(r_out=r_out, layers=ch_layers)
-    return proof, ch, D
+        return lp, chl, D
 
 
-def make_fs_prover(cc, plans):
+def make_fs_prover(cc, plans, staged: bool = True):
+    """staged=True (default): the sponge init + each layer compile as
+    SEPARATE jits with the sponge state threaded through — one fused
+    module for SHA256_64 is a graph the chipless AOT compile helper gets
+    OOM-killed on (depth x unrolled phase-2 rounds), and per-layer modules
+    also cache/reuse across circuits sharing layer shapes.  staged=False:
+    the single-jit fusion (fine for small circuits)."""
     arrs = fs_arrays(cc, plans)
-    f = jax.jit(lambda values, root_l, arrs_:
-                fs_prove(cc, plans, values, root_l, arrs_))
-    return lambda values, root_l: f(values, root_l, arrs)
+    depth = cc.depth
+    if not staged:
+        f = jax.jit(lambda values, root_l, arrs_:
+                    fs_prove(cc, plans, values, root_l, arrs_))
+        return lambda values, root_l: f(values, root_l, arrs)
+
+    bl_last = cc.layers[depth - 1].bit_length
+    off_last = int(cc.value_off[depth - 1])
+
+    @jax.jit
+    def init_fn(values, root_l):
+        D = init_state()
+        D = absorb_elems(D, jnp.stack([root_l[:2], root_l[2:]], axis=1))
+        r_out, D = squeeze_vec(D, bl_last)
+        vres = mle_fold(values[:, off_last:], r_out)
+        D = absorb_elems(D, vres[:, None])
+        return vres, r_out, D
+
+    layer_fns = {}
+
+    def layer_fn(i):
+        fn = layer_fns.get(i)
+        if fn is None:
+            fn = jax.jit(lambda values, r_cur, D, rvs, arrs_:
+                         _fs_layer(cc, plans, i, values, r_cur, D, rvs,
+                                   arrs_))
+            layer_fns[i] = fn
+        return fn
+
+    def run(values, root_l):
+        vres, r_out, D = init_fn(values, root_l)
+        layer_proofs = [None] * depth
+        ch_layers = [None] * depth
+        r_cur = r_out
+        for i in range(depth - 1, 0, -1):
+            rvs = {f"rv{j}": ch_layers[j].r_v
+                   for (j, _ds, _bl, _off) in plans[i].liu_consumers
+                   if j != i}
+            lp, chl, D = layer_fn(i)(values, r_cur, D, rvs, arrs)
+            layer_proofs[i] = lp
+            ch_layers[i] = chl
+            r_cur = chl.r_liu
+        proof = protocol.Proof(vres=vres, layers=layer_proofs)
+        ch = protocol.Challenges(r_out=r_out, layers=ch_layers)
+        return proof, ch, D
+
+    return run
 
 
 # ---------------------------------------------------------------------------
@@ -362,16 +426,21 @@ def _fs_fft_schedule(D, lg: int):
     return d, D
 
 
-def make_fs_pc_prover(bl0: int):
+def make_fs_pc_prover(bl0: int, staged: bool = True):
     """Returns run(l_codeword, final_point, D) -> (h_oracle, all_sum,
-    q_coefs, fft_msgs, ldt_oracles, final_codeword, fold_rands, D') as one
-    jit: the whole PC half of the non-interactive prover on device.
-    Bit-identical to the HostSponge path (verified by verify_fs)."""
+    q_coefs, fft_msgs, ldt_oracles, final_codeword, fold_rands, D'): the
+    whole PC half of the non-interactive prover on device.  Bit-identical
+    to the HostSponge path (verified by verify_fs).
+
+    staged=True splits the work into a public-commit jit, one jit per FRI
+    fold level, and the fft_gkr message tape — single-jit fusion at
+    SHA256_64 scale OOM-kills the chipless AOT compile helper (same issue
+    as make_fs_prover)."""
     from ..pc import virgo_pc, fft_gkr
     from ..pc.fft import ifft
     lg = bl0 - virgo_pc.LOG_SLICE
 
-    def run(l_codeword, final_point, D):
+    def commit_part(l_codeword, final_point, D):
         q_values = beta_table(final_point, bl0, gf.ones(()))
         srec_lg = bl0 - virgo_pc.LOG_SLICE
         rou_small = gf.root_of_unity_int(srec_lg)
@@ -385,24 +454,61 @@ def make_fs_pc_prover(bl0: int):
         D2 = absorb_pair(D, rt[:2], rt[2:])
         D2 = absorb_elems(D2, all_sum)
         d, D2 = _fs_fft_schedule(D2, lg)
-        msgs = fft_gkr.prove_messages(lg, d)
+        return h_oracle, all_sum, q_coefs, d, vo, D2
 
+    def fold_part(cur, D2, lgc):
+        r, D2 = squeeze(D2)
+        cur = virgo_pc.fold_step(cur, r, lgc)
+        o = virgo_pc.make_oracle(cur)
+        ort = o.tree[:, 1]
+        D2 = absorb_pair(D2, ort[:2], ort[2:])
+        return o, r, cur, D2
+
+    if not staged:
+        def run_fused(l_codeword, final_point, D):
+            h_oracle, all_sum, q_coefs, d, vo, D2 = commit_part(
+                l_codeword, final_point, D)
+            msgs = fft_gkr.prove_messages(lg, d)
+            cur = vo
+            lgc = bl0 + virgo_pc.RATE - virgo_pc.LOG_SLICE
+            oracles, rands = [], []
+            for _ in range(lg):
+                o, r, cur, D2 = fold_part(cur, D2, lgc)
+                lgc -= 1
+                oracles.append(o)
+                rands.append(r)
+            return (h_oracle, all_sum, q_coefs, msgs, oracles, cur,
+                    jnp.stack(rands, axis=1), D2)
+
+        return jax.jit(run_fused)
+
+    commit_jit = jax.jit(commit_part)
+    msgs_jit = jax.jit(lambda d: fft_gkr.prove_messages(lg, d))
+    fold_jits = {}
+
+    def fold_jit(lgc):
+        fn = fold_jits.get(lgc)
+        if fn is None:
+            fn = jax.jit(lambda cur, D2: fold_part(cur, D2, lgc))
+            fold_jits[lgc] = fn
+        return fn
+
+    def run(l_codeword, final_point, D):
+        h_oracle, all_sum, q_coefs, d, vo, D2 = commit_jit(
+            l_codeword, final_point, D)
+        msgs = msgs_jit(d)
         cur = vo
         lgc = bl0 + virgo_pc.RATE - virgo_pc.LOG_SLICE
         oracles, rands = [], []
         for _ in range(lg):
-            r, D2 = squeeze(D2)
-            rands.append(r)
-            cur = virgo_pc.fold_step(cur, r, lgc)
+            o, r, cur, D2 = fold_jit(lgc)(cur, D2)
             lgc -= 1
-            o = virgo_pc.make_oracle(cur)
             oracles.append(o)
-            ort = o.tree[:, 1]
-            D2 = absorb_pair(D2, ort[:2], ort[2:])
+            rands.append(r)
         return (h_oracle, all_sum, q_coefs, msgs, oracles, cur,
                 jnp.stack(rands, axis=1), D2)
 
-    return jax.jit(run)
+    return run
 
 
 # ---------------------------------------------------------------------------
