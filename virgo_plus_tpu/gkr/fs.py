@@ -56,13 +56,26 @@ def absorb_pair(D, e0, e1):
 
 
 def absorb_elems(D, elems):
-    """elems: (2, k) — absorbed pairwise in order, zero-padded."""
+    """elems: (2, k) — absorbed pairwise in order, zero-padded.
+
+    Long streams run as ONE lax.scan (bit-identical to the unrolled
+    chain): an unrolled absorb emits a separate keccak instantiation per
+    pair, and hundreds of single-lane keccaks in one module blow up the
+    AOT compile (the helper gets OOM-killed)."""
     k = elems.shape[1]
     if k % 2:
         elems = jnp.pad(elems, ((0, 0), (0, 1)))
         k += 1
-    for i in range(0, k, 2):
-        D = absorb_pair(D, elems[:, i], elems[:, i + 1])
+    if k <= 8:
+        for i in range(0, k, 2):
+            D = absorb_pair(D, elems[:, i], elems[:, i + 1])
+        return D
+    xs = jnp.concatenate([elems[:, 0::2], elems[:, 1::2]], axis=0).T
+
+    def body(d, x):
+        return _sha3_one(jnp.concatenate([x, d])), None
+
+    D, _ = jax.lax.scan(body, D, xs)
     return D
 
 
@@ -79,11 +92,21 @@ def squeeze(D):
 
 
 def squeeze_vec(D, n):
-    out = []
-    for _ in range(n):
-        el, D = squeeze(D)
-        out.append(el)
-    return jnp.stack(out, axis=1), D  # (2, n)
+    """n challenges; long draws as ONE lax.scan (same reason as
+    absorb_elems — the fft_gkr schedule alone squeezes ~257 times)."""
+    if n <= 4:
+        out = []
+        for _ in range(n):
+            el, D = squeeze(D)
+            out.append(el)
+        return jnp.stack(out, axis=1), D  # (2, n)
+
+    def body(d, _):
+        el, d2 = squeeze(d)
+        return d2, el
+
+    D, els = jax.lax.scan(body, D, None, length=n)
+    return jnp.moveaxis(els, 0, 1), D
 
 
 def fs_scan_sumcheck(v, a, m, bl: int, D):
