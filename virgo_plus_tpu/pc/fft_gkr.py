@@ -47,15 +47,21 @@ def _fq2(el) -> Fq2:
 
 
 def _draw_el(rng):
+    """Challenge element as HOST numpy: the values originate on the host
+    rng, and the replay (verify) path reads them element-wise — keeping
+    them host-side avoids one ~6 ms tunnel D2H per read on the axon
+    backend (the hundreds of reads made replay-mode verification take
+    ~15 s).  Device consumers auto-promote."""
     r, i = rng.field_element()
-    return gf.from_u64(np.uint64(r), np.uint64(i)).reshape(2)
+    return np.array([r, i], dtype=np.uint64)
 
 
 def _draw_vec(rng, n):
+    """(2, n) challenges as HOST numpy (see _draw_el)."""
     vals = np.zeros((2, n), dtype=np.uint64)
     for k in range(n):
         vals[0, k], vals[1, k] = rng.field_element()
-    return jnp.asarray(vals)
+    return vals
 
 
 @dataclass
@@ -325,7 +331,8 @@ def run(lg: int, rng, replay=None) -> FFTGKRResult:
     ok &= _check_chain_host(polys, r_u, _fq2(ab_sum))
     ab = _chain_final(polys, r_u, _fq2(ab_sum))
     # verifier: summation_val = sum_i bg(i) * eq(r_u[high 6], bits(i))
-    bg_host = [_fq2(bg[:, i]) for i in range(64)]
+    bg_np = np.asarray(bg)          # ONE transfer, then host reads
+    bg_host = [_fq2(bg_np[:, i]) for i in range(64)]
     ru_host = [_fq2(r_u[:, j]) for j in range(log_uv)]
     s_val = Fq2.raw(0, 0)
     for i in range(64):
