@@ -40,6 +40,8 @@ from .fft import powers
 
 MOD = gf.MOD
 
+from ..field import np_ops as fnp  # noqa: E402  host scalar chain
+
 
 def _fq2(el) -> Fq2:
     r, i = gf.to_u64(el)
@@ -302,15 +304,18 @@ def run(lg: int, rng, replay=None) -> FFTGKRResult:
     r_0 = _draw_vec(rng, lg + 10)
     r_1 = _draw_vec(rng, lg + 10)
 
-    alpha = gf.ones(())
-    beta = gf.zeros(())
+    # the running claim ab_sum and alpha/beta stay HOST numpy: the tape
+    # yields numpy in both modes, and device round trips per scalar cost
+    # ~6 ms each through the axon tunnel (this chain was the verify-wall
+    # bottleneck)
+    alpha = np.array([1, 0], dtype=np.uint64)
+    beta = np.array([0, 0], dtype=np.uint64)
 
     # a_0 = V_output: fold the 64 sums at r_0[:6]
     if tape.recording:
         ab_sum = tape.emit(lambda: mle_fold(layers[-1], r_0[:, :6]))
     else:
         ab_sum = tape.emit(None)
-    ab_sum = jnp.asarray(ab_sum)
 
     n = 1 << lg
 
@@ -345,18 +350,18 @@ def run(lg: int, rng, replay=None) -> FFTGKRResult:
     vu_h = _fq2(v_u)
     if ab != s_val * vu_h:
         ok = False
-    ab_sum = gf.mul(alpha, jnp.asarray(v_u))
+    ab_sum = fnp.mul(alpha, np.asarray(v_u))
     r_0, r_1 = r_u, r_v
 
     # ---------------- mult layer (fft_circuit_GKR.cpp:334-447) ------------
     length_g = lg + 6
-    bg_full = _two_point_beta(r_0, r_1, alpha, beta, length_g)  # (2, 2^(lg+6))
     r_u = _draw_vec(rng, lg)
     r_v = _draw_vec(rng, lg)
 
     def _mult_layer():
+        bg_full = _two_point_beta(r_0, r_1, alpha, beta, length_g)
         pw = jax.vmap(lambda e: powers_el(e, n),
-                      in_axes=1, out_axes=1)(eval_points)
+                      in_axes=1, out_axes=1)(jnp.asarray(eval_points))
         bg_resh = bg_full.reshape(2, 64, n)
         am = tree_sum_axis(jnp.moveaxis(gf.mul(bg_resh, pw), 2, 1))
         V = layers[2 * lg + 1]                            # scale layer (2, n)
@@ -393,11 +398,11 @@ def run(lg: int, rng, replay=None) -> FFTGKRResult:
         summation_mult = summation_mult + g0 * u0 + g1 * u1
     if ab != summation_mult * _fq2(v_u):
         ok = False
-    ab_sum = gf.mul(alpha, jnp.asarray(v_u))
+    ab_sum = fnp.mul(alpha, np.asarray(v_u))
     r_0, r_1 = r_u, r_v
 
     # ---------------- intermediate (scale) layer --------------------------
-    ab_sum = gf.mul(ab_sum, gf.full((), n % MOD))
+    ab_sum = fnp.mul(ab_sum, np.array([n % MOD, 0], dtype=np.uint64))
 
     # ---------------- ifft stages (fft_circuit_GKR.cpp:458-769) -----------
     rou_int = gf.root_of_unity_int(lg)
@@ -412,16 +417,21 @@ def run(lg: int, rng, replay=None) -> FFTGKRResult:
         m = 1 << dep
         K = n >> (dep + 1)      # blk_size/2
         pre_layer = layers[lg + (lg - dep) - 1] if tape.recording else None
-        x_pows = powers(rot_mul[dep], K)           # x_k
-        bg_full = _two_point_beta(r_0, r_1, alpha, beta, lg)  # (2, n)
         r_u = _draw_vec(rng, lg)
         r_v = _draw_vec(rng, lg)
+
         # gates: out[k<<dep|j] = pre[k<<(dep+1)|j] + x_k*pre[...|1<<dep|j]
         #        out[(k+K)<<dep|j] = pre[k<<(dep+1)|j] - x_k*pre[..|1<<dep|j]
-        bgA = bg_full.reshape(2, 2, K, m)[:, 0]    # g = k<<dep|j
-        bgB = bg_full.reshape(2, 2, K, m)[:, 1]    # g = (k+K)<<dep|j
+        # device-only quantities build INSIDE the recording closures so the
+        # replay path touches no device at all
+        def _bg_parts():
+            x_pows = powers(rot_mul[dep], K)       # x_k
+            bg_full = _two_point_beta(r_0, r_1, alpha, beta, lg)  # (2, n)
+            resh = bg_full.reshape(2, 2, K, m)
+            return resh[:, 0], resh[:, 1], x_pows  # bgA (k<<dep|j), bgB
 
         def _stage_p1():
+            bgA, bgB, x_pows = _bg_parts()
             Vpre = pre_layer.reshape(2, K, 2, m)
             v_odd = Vpre[:, :, 1, :]
             # phase 1: scatter onto u = k<<(dep+1)|j (even positions)
@@ -441,6 +451,7 @@ def run(lg: int, rng, replay=None) -> FFTGKRResult:
 
         def _stage_p2():
             # phase 2: scatter onto v = k<<(dep+1)|1<<dep|j (odd positions)
+            bgA, bgB, x_pows = _bg_parts()
             bu_full = beta_table(jnp.asarray(r_u)[:, :lg], lg, gf.ones(()))
             bu_resh = bu_full.reshape(2, K, 2, m)
             bu_u = bu_resh[:, :, 0, :]             # beta_u at u positions
@@ -513,8 +524,8 @@ def run(lg: int, rng, replay=None) -> FFTGKRResult:
         # new alpha/beta
         alpha = _draw_el(rng)
         beta = _draw_el(rng)
-        ab_sum = gf.add(gf.mul(alpha, jnp.asarray(v_u)),
-                        gf.mul(beta, jnp.asarray(v_v)))
+        ab_sum = fnp.add(fnp.mul(alpha, np.asarray(v_u)),
+                         fnp.mul(beta, np.asarray(v_v)))
         r_0, r_1 = r_u, r_v
 
     # extension part: proof size only (fft_circuit_GKR.cpp:771-780)
