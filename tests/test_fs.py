@@ -61,7 +61,13 @@ def test_fs_end_to_end_with_pc():
     rep = driver.verify_fs(c, full, cp)
     assert rep.ok and rep.gkr_ok and rep.pc_ok
     # tamper with all_sum -> verification must fail
-    full.all_sum = full.all_sum.copy()
-    full.all_sum[0, 0] = (int(full.all_sum[0, 0]) + 1) % ((1 << 61) - 1)
+    tampered = full.all_sum.copy()
+    tampered[0, 0] = (int(tampered[0, 0]) + 1) % ((1 << 61) - 1)
+    good_all_sum, full.all_sum = full.all_sum, tampered
     rep2 = driver.verify_fs(c, full, cp)
     assert not rep2.ok
+    full.all_sum = good_all_sum
+    # forged constant final codeword (constancy passes, binding must not)
+    full.final_codeword = np.zeros_like(full.final_codeword)
+    rep3 = driver.verify_fs(c, full, cp)
+    assert not rep3.ok

@@ -94,6 +94,35 @@ def test_reject_final_codeword(setup):
     assert not driver.verify(c, f, cp).ok
 
 
+def test_reject_forged_constant_final_codeword(setup):
+    """The adversarial shape: an all-zeros codeword is constant per slice
+    (so the constancy check alone passes) but is not the committed last
+    fold level — the root binding must reject it."""
+    c, cp, full = setup
+    f = _reload(full)
+    f.final_codeword = np.zeros_like(f.final_codeword)
+    assert not driver.verify(c, f, cp).ok
+
+
+def test_reject_forged_constant_final_codeword_shifted(setup):
+    """A uniform per-slice shift keeps every constancy relation intact but
+    changes the leaf chains; only the Merkle binding catches it."""
+    c, cp, full = setup
+    f = _reload(full)
+    f.final_codeword = f.final_codeword.copy()
+    f.final_codeword[0, 0] = (f.final_codeword[0, 0] + np.uint64(1)) \
+        % np.uint64(MOD)
+    assert not driver.verify(c, f, cp).ok
+
+
+def test_reject_level_root(setup):
+    c, cp, full = setup
+    f = _reload(full)
+    f.level_roots = f.level_roots.copy()
+    f.level_roots[-1, 0] ^= np.uint64(1)
+    assert not driver.verify(c, f, cp).ok
+
+
 def test_reject_fft_gkr_message(setup):
     c, cp, full = setup
     f = _reload(full)

@@ -97,6 +97,30 @@ class SizeAccount:
         return new
 
 
+def merkle_root_of_codeword(cw: np.ndarray) -> bytes:
+    """Recompute the committed Merkle root of a (2, 65, N) codeword
+    entirely host-side: the 65-step leaf chains (fri.cpp:96-124 layout —
+    leaf j packs (v[s][j], v[s][j+N/2]) as a.real, a.img, b.real, b.img LE
+    u64) followed by the heap tree (merkle_tree.cpp:7-51, parent =
+    SHA3-256(left || right)).  Bit-identical to make_oracle's device
+    pipeline; used to bind the serialized ``final_codeword`` to
+    ``level_roots[-1]`` (N = 2^RATE, so 16 leaves — trivial cost)."""
+    cw = np.ascontiguousarray(np.asarray(cw, dtype=np.uint64))
+    half = cw.shape[2] // 2
+    a, b = cw[:, :, :half], cw[:, :, half:]
+    blocks = np.stack([a[0], a[1], b[0], b[1]], axis=-1)   # (65, half, 4)
+    level = []
+    for j in range(half):
+        h = b"\x00" * 32
+        for s in range(cw.shape[1]):
+            h = _hash64(blocks[s, j].tobytes() + h)
+        level.append(h)
+    while len(level) > 1:
+        level = [_hash64(level[2 * k] + level[2 * k + 1])
+                 for k in range(len(level) // 2)]
+    return level[0]
+
+
 def _fq2_of(arr, idx=None) -> Fq2:
     a = np.asarray(arr)
     if idx is None:
@@ -390,10 +414,21 @@ def check_queries(pows: List[int], answers: QueryAnswers, bl: int,
             if not match.all():
                 return False
 
+    # Bind the serialized final codeword to the commitment: its recomputed
+    # leaf chains + Merkle root must equal the last committed level root.
+    # The reference reads the codeword directly out of the prover's
+    # committed state (vpd_verifier.cpp:311-325 reads
+    # fri::cpd.rs_codeword[mx_depth-1]) so it is bound by construction; a
+    # standalone proof carries it as an array, so without this check a
+    # prover of a non-low-degree oracle could ship a fake constant array
+    # and pass the constancy test below.
+    fc = np.asarray(final_codeword)
+    if n_levels > 0 and merkle_root_of_codeword(fc) != level_roots[-1]:
+        return False
+
     # final codeword constancy (vpd_verifier.cpp:311-325): the reference
     # checks only the first 2^(RATE-1) positions per real slice, but every
     # adjacent pair of the mask slice.
-    fc = np.asarray(final_codeword)
     hr = 1 << (RATE - 1)
     if not (fc[:, :SLICES, :hr] == fc[:, :SLICES, :1]).all():
         return False
