@@ -33,15 +33,22 @@ def main(layers=16, bits=14):
     from jax.sharding import Mesh
     from virgo_plus_tpu import driver
     from virgo_plus_tpu.circuits.layered import randomize, subset_init
-    from virgo_plus_tpu.parallel.gkr_sharded import prove_sharded
+    from virgo_plus_tpu.parallel.gkr_sharded import (prove_sharded,
+                                                     compile_sharded)
 
     S = 8
     mesh = Mesh(np.array(jax.devices()[:S]), ("sp",))
     c = randomize(layers, bits, seed=9)
     subset_init(c)
 
+    comp = compile_sharded(c, mesh, "sp")
     t0 = time.time()
-    full_sh, info = prove_sharded(c, mesh, "sp")
+    full_sh, info = prove_sharded(c, mesh, "sp", compiled=comp)
+    dt_cold = time.time() - t0
+    # steady state: same jits, warm — the honest wall (the cold number is
+    # dominated by one-off CPU-mesh XLA compiles)
+    t0 = time.time()
+    full_sh, info = prove_sharded(c, mesh, "sp", compiled=comp)
     dt = time.time() - t0
 
     cp = driver.compile_prover(c)
@@ -64,6 +71,7 @@ def main(layers=16, bits=14):
         "per_device_pc_bytes": info["per_device_pc_bytes"],
         "full_codeword_bytes": info["full_codeword_bytes"],
         "prove_wall_s": round(dt, 3),
+        "prove_wall_cold_s": round(dt_cold, 3),
         "roots_bit_exact": True,
         "verified": bool(rep.ok),
     }))

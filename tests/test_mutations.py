@@ -123,6 +123,54 @@ def test_reject_level_root(setup):
     assert not driver.verify(c, f, cp).ok
 
 
+def test_reject_round_poly(setup):
+    c, cp, full = setup
+    f = _reload(full)
+    lp = f.layers[1]
+    lp["p1_polys"] = lp["p1_polys"].copy()
+    lp["p1_polys"][0, 0, 1] = (int(lp["p1_polys"][0, 0, 1]) + 1) % MOD
+    assert not driver.verify(c, f, cp).ok
+
+
+def test_reject_claims_v(setup):
+    c, cp, full = setup
+    f = _reload(full)
+    for i in range(1, c.size):
+        lp = f.layers[i]
+        if lp.get("claims_v") is not None and lp["claims_v"].size:
+            lp["claims_v"] = lp["claims_v"].copy()
+            lp["claims_v"][0, 0] = (int(lp["claims_v"][0, 0]) + 1) % MOD
+            break
+    else:
+        import pytest
+        pytest.skip("no layer with claims_v")
+    assert not driver.verify(c, f, cp).ok
+
+
+def test_reject_all_sum(setup):
+    c, cp, full = setup
+    f = _reload(full)
+    f.all_sum = f.all_sum.copy()
+    f.all_sum[0, 0] = (int(f.all_sum[0, 0]) + 1) % MOD
+    assert not driver.verify(c, f, cp).ok
+
+
+def test_reject_root_h(setup):
+    c, cp, full = setup
+    f = _reload(full)
+    f.root_h = f.root_h.copy()
+    f.root_h[0] ^= np.uint64(1)
+    assert not driver.verify(c, f, cp).ok
+
+
+def test_reject_level_query_value(setup):
+    c, cp, full = setup
+    f = _reload(full)
+    f.queries.lvl_vals = [v.copy() for v in f.queries.lvl_vals]
+    f.queries.lvl_vals[0][0, 2, 0, 0] ^= np.uint64(1)
+    assert not driver.verify(c, f, cp).ok
+
+
 def test_reject_fft_gkr_message(setup):
     c, cp, full = setup
     f = _reload(full)

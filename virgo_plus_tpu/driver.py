@@ -149,7 +149,11 @@ def _layer_proof_arrays(lp: protocol.LayerProof) -> dict:
 
 
 def _layer_proof_from(arrs: dict) -> protocol.LayerProof:
-    j = jnp.asarray
+    """Rehydrate a serialized layer as HOST numpy: eager jnp.asarray here
+    costs ~60 separate H2D transfers per proof (~6 ms each through the
+    axon tunnel in sync mode); the verifier jits ship numpy pytree args in
+    one batched transfer instead."""
+    j = np.asarray
     return protocol.LayerProof(
         p1_polys=j(arrs["p1_polys"]), claim_u=j(arrs["claim_u"]),
         p2_polys=None if arrs.get("p2_polys") is None else j(arrs["p2_polys"]),
@@ -203,26 +207,33 @@ def verify(circuit: LayeredCircuit, full: proof_io.FullProof,
     bl0 = cc.layers[0].bit_length
     t0 = time.time()
 
+    pt = metrics.PhaseTimer()
+    pt.start("challenges")
     rng = GlibcRandom(seed)
     ch = protocol.make_challenges(cc, rng)
     proof = protocol.Proof(
-        vres=jnp.asarray(full.vres),
+        vres=np.asarray(full.vres),
         layers=[None] + [_layer_proof_from(full.layers[i])
                          for i in range(1, cc.depth)])
+    pt.stop("challenges")
 
     # The verifier never re-evaluates the circuit: vres is the claimed
     # output-MLE value and the layer walk + PC opening bind it to the
     # committed input (succinct verification).  Callers with public outputs
     # pass them as output_values to bind vres to the claimed statement.
+    pt.start("gkr_walk")
     gkr_ok, previous_sum, final_point = cp.verifier(
         proof, ch,
         None if output_values is None else jnp.asarray(output_values))
     gkr_ok = bool(gkr_ok)
+    pt.stop("gkr_walk")
 
     # PC opening check through the seam (q-side FFT delegation, FRI query
     # walks, inner-product binding — pc/interface.py)
+    pt.start("pc_opening")
     pc_ok, pc_details = cp.pc.verify_opening(cp.pc_fns, full, final_point,
                                              previous_sum, rng)
+    pt.stop("pc_opening")
     vt = time.time() - t0
     slow = getattr(cp.verifier, "last_split", (0.0, 0.0))[1]
     return Report(
@@ -231,7 +242,7 @@ def verify(circuit: LayeredCircuit, full: proof_io.FullProof,
         gkr_proof_size=gkr_proof_size_bytes(cc),
         pc_proof_size=0,
         verify_time=vt, verify_time_fast=vt - slow, verify_time_slow=slow,
-        details=dict(pc_details))
+        details=dict(pc_details, phases=pt.report()))
 
 
 def prove_fs(circuit: LayeredCircuit,
@@ -250,18 +261,30 @@ def prove_fs(circuit: LayeredCircuit,
     bl0 = cc.layers[0].bit_length
     t0 = time.time()
 
+    from .pc.interface import VirgoPC
+    if not isinstance(cp.pc, VirgoPC):
+        raise ValueError(
+            "FS mode requires the Virgo PC (the FS PC prover threads the "
+            f"sponge through the VPD pipeline); got pc={cp.pc.name!r}")
+
+    pt = metrics.PhaseTimer()
+    pt.start("eval_commit")
     inputs = input_buffer(cc, witness)
     values = cp.evaluator(inputs)
-    l_oracle, _ = cp.pc_fns["commit"](inputs)
+    l_oracle, root_l_np = cp.pc.commit_private(cp.pc_fns, inputs)
     root_l = l_oracle.tree[:, 1]
+    pt.stop("eval_commit")
 
+    pt.start("gkr")
     fs_prover = getattr(cp, "_fs_prover", None)
     if fs_prover is None:
         fs_prover = fs_mod.make_fs_prover(cc, cp.plans)
         cp._fs_prover = fs_prover
     proof, ch, D = fs_prover(values, root_l)
     final_point = ch.layers[1].r_liu[:, :bl0]
+    pt.stop("gkr")
 
+    pt.start("pc")
     fs_pc = getattr(cp, "_fs_pc", None)
     if fs_pc is None:
         fs_pc = fs_mod.make_fs_pc_prover(bl0)
@@ -269,7 +292,9 @@ def prove_fs(circuit: LayeredCircuit,
     (h_oracle, all_sum, _q_coefs, fft_msgs, oracles, final_cw,
      _fold_rands, D_final) = fs_pc(l_oracle.codeword, final_point, D)
     all_sum_np = np.asarray(all_sum)
+    pt.stop("pc")
 
+    pt.start("queries")
     sp = fs_mod.HostSponge.from_device_state(D_final)
     l_host = vpd.OracleHost.of(l_oracle)
     h_host = vpd.OracleHost.of(h_oracle)
@@ -277,6 +302,7 @@ def prove_fs(circuit: LayeredCircuit,
     pows = vpd.draw_positions(sp, bl0)
     answers, query_size = vpd.answer_queries(pows, bl0, l_host, h_host,
                                              level_hosts)
+    pt.stop("queries")
 
     n_folds = bl0 - virgo_pc.LOG_SLICE
     fg_size = fft_gkr.fft_gkr_proof_size(n_folds)
@@ -285,7 +311,7 @@ def prove_fs(circuit: LayeredCircuit,
         vres=np.asarray(proof.vres),
         layers=[None] + [_layer_proof_arrays(proof.layers[i])
                          for i in range(1, cc.depth)],
-        root_l=np.asarray(l_oracle.tree[:, 1]),
+        root_l=root_l_np,
         root_h=np.asarray(h_oracle.tree[:, 1]),
         all_sum=all_sum_np,
         level_roots=level_roots,
@@ -296,7 +322,7 @@ def prove_fs(circuit: LayeredCircuit,
     info = dict(prove_time=time.time() - t0,
                 gkr_proof_size=gkr_proof_size_bytes(cc),
                 pc_proof_size=fg_size + query_size + 2 * 32 + 16,
-                fft_gkr_ok=True)
+                fft_gkr_ok=True, phases=pt.report())
     return full, info
 
 
@@ -311,22 +337,33 @@ def verify_fs(circuit: LayeredCircuit, full: proof_io.FullProof,
     bl0 = cc.layers[0].bit_length
     t0 = time.time()
 
+    pt = metrics.PhaseTimer()
+    pt.start("challenges")
     proof = protocol.Proof(
-        vres=jnp.asarray(full.vres),
+        vres=np.asarray(full.vres),
         layers=[None] + [_layer_proof_from(full.layers[i])
                          for i in range(1, cc.depth)])
-    ch, sp = fs_mod.derive_challenges(cc, proof, jnp.asarray(full.root_l))
+    ch, sp = fs_mod.derive_challenges(cc, proof, full.root_l)
+    pt.stop("challenges")
+    pt.start("gkr_walk")
     gkr_ok, previous_sum, final_point = cp.verifier(proof, ch, None)
     gkr_ok = bool(gkr_ok)
+    pt.stop("gkr_walk")
 
+    pt.start("q_prepare")
     q_values, q_coefs = cp.q_prepare_fn(final_point)
+    q_coefs = np.asarray(q_coefs)
+    pt.stop("q_prepare")
 
+    pt.start("fft_replay")
     sp.absorb_digest_words(full.root_h)
     all_sum_np = np.asarray(full.all_sum)
     sp.absorb_elems([(int(all_sum_np[0, k]), int(all_sum_np[1, k]))
                      for k in range(all_sum_np.shape[1])])
     fg = fft_gkr.run(bl0 - virgo_pc.LOG_SLICE, sp,
                      replay=full.fft_gkr_messages)
+    pt.stop("fft_replay")
+    pt.start("queries")
     rand_fq2 = []
     for k in range(full.level_roots.shape[0]):
         r, i = sp.squeeze()
@@ -338,7 +375,7 @@ def verify_fs(circuit: LayeredCircuit, full: proof_io.FullProof,
     lroots = [full.level_roots[k].tobytes()
               for k in range(full.level_roots.shape[0])]
     pc_ok = vpd.check_queries(
-        pows, full.queries, bl0, rand_fq2, lroots, np.asarray(q_coefs),
+        pows, full.queries, bl0, rand_fq2, lroots, q_coefs,
         all_sum_fq2, np.asarray(full.root_l).tobytes(),
         np.asarray(full.root_h).tobytes(), full.final_codeword)
 
@@ -349,6 +386,7 @@ def verify_fs(circuit: LayeredCircuit, full: proof_io.FullProof,
         tot = tot + x
     input_check = (tot == ps)
     pc_ok = bool(pc_ok) and fg.ok and input_check
+    pt.stop("queries")
     vt = time.time() - t0
     slow = getattr(cp.verifier, "last_split", (0.0, 0.0))[1]
     return Report(
@@ -356,7 +394,8 @@ def verify_fs(circuit: LayeredCircuit, full: proof_io.FullProof,
         input_size=cc.n_inputs,
         gkr_proof_size=gkr_proof_size_bytes(cc), pc_proof_size=0,
         verify_time=vt, verify_time_fast=vt - slow, verify_time_slow=slow,
-        details=dict(fft_gkr_ok=fg.ok, input_check=input_check))
+        details=dict(fft_gkr_ok=fg.ok, input_check=input_check,
+                     phases=pt.report()))
 
 
 def run(pws_path: Optional[str] = None,

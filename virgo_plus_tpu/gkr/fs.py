@@ -217,149 +217,148 @@ def _fs_layer(cc, plans, i, values, r_cur, D, rvs, arrs):
     challenge squeezed from the sponge.  rvs: {f"rv{j}": r_v} of consumer
     layers j > i (already processed).  Returns (LayerProof,
     LayerChallenges, new sponge state)."""
-    if True:
-        L = cc.layers[i]
-        P = plans[i]
-        bl_prev = cc.layers[i - 1].bit_length
-        one = gf.ones(())
+    L = cc.layers[i]
+    P = plans[i]
+    bl_prev = cc.layers[i - 1].bit_length
+    one = gf.ones(())
 
-        assert_r, D = squeeze(D)
-        bg_full = beta_table(r_cur, L.bit_length, one)
-        bg_full = protocol._scale_beta_asserts(cc, i, bg_full, assert_r)
-        bg = bg_full[:, :L.size]
-        y = values[:, arrs[f"y{i}"]]
-        co = arrs[f"co{i}"]
-        A, B, C, Dc = co[0], co[1], co[2], co[3]
-        add_c = gf.mul(bg, gf.add(gf.mul(B, y), Dc))
-        mult_c = gf.mul(bg, gf.add(A, gf.mul(C, y)))
-        tmp_add = P.p1.apply(add_c, arrs[f"p1P{i}"])
-        tmp_mult = P.p1.apply(mult_c, arrs[f"p1P{i}"])
-        tmp_v = protocol._values_block(cc, values, i - 1)
-        p1_polys, r_u, (claim_u, _, _), D = fs_scan_sumcheck(
-            tmp_v, tmp_add, tmp_mult, bl_prev, D)
-        D = absorb_elems(D, claim_u[:, None])
+    assert_r, D = squeeze(D)
+    bg_full = beta_table(r_cur, L.bit_length, one)
+    bg_full = protocol._scale_beta_asserts(cc, i, bg_full, assert_r)
+    bg = bg_full[:, :L.size]
+    y = values[:, arrs[f"y{i}"]]
+    co = arrs[f"co{i}"]
+    A, B, C, Dc = co[0], co[1], co[2], co[3]
+    add_c = gf.mul(bg, gf.add(gf.mul(B, y), Dc))
+    mult_c = gf.mul(bg, gf.add(A, gf.mul(C, y)))
+    tmp_add = P.p1.apply(add_c, arrs[f"p1P{i}"])
+    tmp_mult = P.p1.apply(mult_c, arrs[f"p1P{i}"])
+    tmp_v = protocol._values_block(cc, values, i - 1)
+    p1_polys, r_u, (claim_u, _, _), D = fs_scan_sumcheck(
+        tmp_v, tmp_add, tmp_mult, bl_prev, D)
+    D = absorb_elems(D, claim_u[:, None])
 
-        p2_polys = None
-        claims_v = None
-        r_v = None
-        if L.max_dad_bit_length >= 0:
-            mdb = L.max_dad_bit_length
-            beta_u = beta_table(r_u, bl_prev, one)
-            tmp_g = gf.mul(bg, beta_u[:, arrs[f"x{i}"]])
-            cu = claim_u[:, None]
-            addv_c = gf.mul(tmp_g, gf.add(gf.mul(A, cu), Dc))
-            multv_c = gf.mul(tmp_g, gf.add(B, gf.mul(C, cu)))
-            addV = P.p2.apply(addv_c, arrs[f"p2P{i}"])
-            multV = P.p2.apply(multv_c, arrs[f"p2P{i}"])
-            vdad = jnp.where(arrs[f"dgm{i}"], values[:, arrs[f"dg{i}"]], 0)
-            # FS phase 2 runs the tables JOINTLY round by round: rounds
-            # must share challenges across tables, so we fold all tables
-            # with a shared scan over the concatenated buffer, handling
-            # exhausted tables via the add_term chain exactly as the
-            # interactive prover does — but with sponge challenges.
-            zero = jnp.zeros((2,), jnp.uint64)
-            tables = []
-            for li in range(i):
-                if L.dad_sizes[li] == 0:
-                    continue
-                off = L.dad_offsets[li]
-                blk = slice(off, off + (1 << L.dad_bls[li]))
-                tables.append((li, L.dad_bls[li],
-                               vdad[:, blk], addV[:, blk], multV[:, blk]))
-            a_term = zero
-            out_polys = []
-            rs_list = []
-            bounds = {}
-            state = {li: (vv, aa, mm) for (li, bl_l, vv, aa, mm) in tables}
-            bls = {li: bl_l for (li, bl_l, *_rest) in tables}
-            for j in range(mdb):
-                if j > 0:
-                    a_term = gf.mul(a_term, gf.sub(one, rs_list[-1]))
-                pj = jnp.zeros((2, 3), jnp.uint64)
-                for li, (vv, aa, mm) in state.items():
-                    bl_l = bls[li]
-                    if j < bl_l:
-                        v0, v1 = vv[:, 0::2], vv[:, 1::2]
-                        a0, a1 = aa[:, 0::2], aa[:, 1::2]
-                        m0, m1 = mm[:, 0::2], mm[:, 1::2]
-                        dv = gf.sub(v1, v0)
-                        da = gf.sub(a1, a0)
-                        dm = gf.sub(m1, m0)
-                        pa = tree_sum(gf.mul(dm, dv))
-                        pb = tree_sum(gf.add(gf.add(gf.mul(dm, v0),
-                                                    gf.mul(m0, dv)), da))
-                        pcc = tree_sum(gf.add(gf.mul(m0, v0), a0))
-                        pj = gf.add(pj, jnp.stack([pa, pb, pcc], axis=1))
-                    elif j == bl_l:
-                        vb, ab, mb = state[li]
-                        a_term = gf.add(a_term,
-                                        gf.add(gf.mul(vb[:, 0], mb[:, 0]),
-                                               ab[:, 0]))
-                        bounds[li] = vb[:, 0]
-                pj = gf.add(pj, jnp.stack(
-                    [zero, gf.neg(a_term), a_term], axis=1))
-                D2 = absorb_pair(D, pj[:, 0], pj[:, 1])
-                D2 = absorb_pair(D2, pj[:, 2], zero)
-                r, D = squeeze(D2)
-                rs_list.append(r)
-                out_polys.append(pj)
-                # bind
-                new_state = {}
-                for li, (vv, aa, mm) in state.items():
-                    if j < bls[li]:
-                        rr = r[:, None]
-                        v0, v1 = vv[:, 0::2], vv[:, 1::2]
-                        a0, a1 = aa[:, 0::2], aa[:, 1::2]
-                        m0, m1 = mm[:, 0::2], mm[:, 1::2]
-                        new_state[li] = (
-                            gf.add(v0, gf.mul(gf.sub(v1, v0), rr)),
-                            gf.add(a0, gf.mul(gf.sub(a1, a0), rr)),
-                            gf.add(m0, gf.mul(gf.sub(m1, m0), rr)))
-                    else:
-                        new_state[li] = state[li]
-                state = new_state
+    p2_polys = None
+    claims_v = None
+    r_v = None
+    if L.max_dad_bit_length >= 0:
+        mdb = L.max_dad_bit_length
+        beta_u = beta_table(r_u, bl_prev, one)
+        tmp_g = gf.mul(bg, beta_u[:, arrs[f"x{i}"]])
+        cu = claim_u[:, None]
+        addv_c = gf.mul(tmp_g, gf.add(gf.mul(A, cu), Dc))
+        multv_c = gf.mul(tmp_g, gf.add(B, gf.mul(C, cu)))
+        addV = P.p2.apply(addv_c, arrs[f"p2P{i}"])
+        multV = P.p2.apply(multv_c, arrs[f"p2P{i}"])
+        vdad = jnp.where(arrs[f"dgm{i}"], values[:, arrs[f"dg{i}"]], 0)
+        # FS phase 2 runs the tables JOINTLY round by round: rounds
+        # must share challenges across tables, so we fold all tables
+        # with a shared scan over the concatenated buffer, handling
+        # exhausted tables via the add_term chain exactly as the
+        # interactive prover does — but with sponge challenges.
+        zero = jnp.zeros((2,), jnp.uint64)
+        tables = []
+        for li in range(i):
+            if L.dad_sizes[li] == 0:
+                continue
+            off = L.dad_offsets[li]
+            blk = slice(off, off + (1 << L.dad_bls[li]))
+            tables.append((li, L.dad_bls[li],
+                           vdad[:, blk], addV[:, blk], multV[:, blk]))
+        a_term = zero
+        out_polys = []
+        rs_list = []
+        bounds = {}
+        state = {li: (vv, aa, mm) for (li, bl_l, vv, aa, mm) in tables}
+        bls = {li: bl_l for (li, bl_l, *_rest) in tables}
+        for j in range(mdb):
+            if j > 0:
+                a_term = gf.mul(a_term, gf.sub(one, rs_list[-1]))
+            pj = jnp.zeros((2, 3), jnp.uint64)
             for li, (vv, aa, mm) in state.items():
-                if bls[li] == mdb:
-                    bounds[li] = vv[:, 0]
-                elif li not in bounds:
-                    bounds[li] = vv[:, 0]
-            p2_polys = (jnp.stack(out_polys) if out_polys
-                        else jnp.zeros((0, 2, 3), jnp.uint64))
-            r_v = (jnp.stack(rs_list, axis=1) if rs_list
-                   else jnp.zeros((2, 0), jnp.uint64))
-            cl = [bounds.get(li, zero) for li in range(i)]
-            claims_v = jnp.stack(cl) if cl else jnp.zeros((0, 2), jnp.uint64)
-            D = absorb_elems(D, claims_v.T)
+                bl_l = bls[li]
+                if j < bl_l:
+                    v0, v1 = vv[:, 0::2], vv[:, 1::2]
+                    a0, a1 = aa[:, 0::2], aa[:, 1::2]
+                    m0, m1 = mm[:, 0::2], mm[:, 1::2]
+                    dv = gf.sub(v1, v0)
+                    da = gf.sub(a1, a0)
+                    dm = gf.sub(m1, m0)
+                    pa = tree_sum(gf.mul(dm, dv))
+                    pb = tree_sum(gf.add(gf.add(gf.mul(dm, v0),
+                                                gf.mul(m0, dv)), da))
+                    pcc = tree_sum(gf.add(gf.mul(m0, v0), a0))
+                    pj = gf.add(pj, jnp.stack([pa, pb, pcc], axis=1))
+                elif j == bl_l:
+                    vb, ab, mb = state[li]
+                    a_term = gf.add(a_term,
+                                    gf.add(gf.mul(vb[:, 0], mb[:, 0]),
+                                           ab[:, 0]))
+                    bounds[li] = vb[:, 0]
+            pj = gf.add(pj, jnp.stack(
+                [zero, gf.neg(a_term), a_term], axis=1))
+            D2 = absorb_pair(D, pj[:, 0], pj[:, 1])
+            D2 = absorb_pair(D2, pj[:, 2], zero)
+            r, D = squeeze(D2)
+            rs_list.append(r)
+            out_polys.append(pj)
+            # bind
+            new_state = {}
+            for li, (vv, aa, mm) in state.items():
+                if j < bls[li]:
+                    rr = r[:, None]
+                    v0, v1 = vv[:, 0::2], vv[:, 1::2]
+                    a0, a1 = aa[:, 0::2], aa[:, 1::2]
+                    m0, m1 = mm[:, 0::2], mm[:, 1::2]
+                    new_state[li] = (
+                        gf.add(v0, gf.mul(gf.sub(v1, v0), rr)),
+                        gf.add(a0, gf.mul(gf.sub(a1, a0), rr)),
+                        gf.add(m0, gf.mul(gf.sub(m1, m0), rr)))
+                else:
+                    new_state[li] = state[li]
+            state = new_state
+        for li, (vv, aa, mm) in state.items():
+            if bls[li] == mdb:
+                bounds[li] = vv[:, 0]
+            elif li not in bounds:
+                bounds[li] = vv[:, 0]
+        p2_polys = (jnp.stack(out_polys) if out_polys
+                    else jnp.zeros((0, 2, 3), jnp.uint64))
+        r_v = (jnp.stack(rs_list, axis=1) if rs_list
+               else jnp.zeros((2, 0), jnp.uint64))
+        cl = [bounds.get(li, zero) for li in range(i)]
+        claims_v = jnp.stack(cl) if cl else jnp.zeros((0, 2), jnp.uint64)
+        D = absorb_elems(D, claims_v.T)
 
-        # Liu
-        sig, D = squeeze_vec(D, cc.depth)
-        bsig = beta_table(r_u, bl_prev, sig[:, 0])
-        pre_size = cc.layers[i - 1].size
-        multL = jnp.pad(bsig[:, :pre_size],
-                        ((0, 0), (0, cc.layers[i - 1].padded - pre_size)))
-        if P.liu_plan is not None:
-            parts = []
-            for (j, ds, bl_jl, off) in P.liu_consumers:
-                # j == i is this layer's own dad table: its r_v was just
-                # drawn above; higher layers were processed earlier.
-                rv_j = r_v if j == i else rvs[f"rv{j}"]
-                bt = beta_table(rv_j[:, :bl_jl], bl_jl,
-                                sig[:, j - i + 1])
-                parts.append(bt[:, :ds])
-            contr = jnp.concatenate(parts, axis=1)
-            multL = gf.add(multL, P.liu_plan.apply(contr,
-                                                   arrs[f"liuP{i}"]))
-        addL = jnp.zeros_like(multL)
-        liu_polys, r_liu, (liu_claim, _, _), D = fs_scan_sumcheck(
-            tmp_v, addL, multL, bl_prev, D)
-        D = absorb_elems(D, liu_claim[:, None])
+    # Liu
+    sig, D = squeeze_vec(D, cc.depth)
+    bsig = beta_table(r_u, bl_prev, sig[:, 0])
+    pre_size = cc.layers[i - 1].size
+    multL = jnp.pad(bsig[:, :pre_size],
+                    ((0, 0), (0, cc.layers[i - 1].padded - pre_size)))
+    if P.liu_plan is not None:
+        parts = []
+        for (j, ds, bl_jl, off) in P.liu_consumers:
+            # j == i is this layer's own dad table: its r_v was just
+            # drawn above; higher layers were processed earlier.
+            rv_j = r_v if j == i else rvs[f"rv{j}"]
+            bt = beta_table(rv_j[:, :bl_jl], bl_jl,
+                            sig[:, j - i + 1])
+            parts.append(bt[:, :ds])
+        contr = jnp.concatenate(parts, axis=1)
+        multL = gf.add(multL, P.liu_plan.apply(contr,
+                                               arrs[f"liuP{i}"]))
+    addL = jnp.zeros_like(multL)
+    liu_polys, r_liu, (liu_claim, _, _), D = fs_scan_sumcheck(
+        tmp_v, addL, multL, bl_prev, D)
+    D = absorb_elems(D, liu_claim[:, None])
 
-        lp = protocol.LayerProof(
-            p1_polys=p1_polys, claim_u=claim_u, p2_polys=p2_polys,
-            claims_v=claims_v, liu_polys=liu_polys, liu_claim=liu_claim)
-        chl = protocol.LayerChallenges(
-            r_u=r_u, assert_r=assert_r, r_v=r_v, sig=sig, r_liu=r_liu)
-        return lp, chl, D
+    lp = protocol.LayerProof(
+        p1_polys=p1_polys, claim_u=claim_u, p2_polys=p2_polys,
+        claims_v=claims_v, liu_polys=liu_polys, liu_claim=liu_claim)
+    chl = protocol.LayerChallenges(
+        r_u=r_u, assert_r=assert_r, r_v=r_v, sig=sig, r_liu=r_liu)
+    return lp, chl, D
 
 
 def make_fs_prover(cc, plans, staged: bool = True):
@@ -590,7 +589,14 @@ class HostSponge:
 
 def derive_challenges(cc, proof: protocol.Proof, root_l):
     """Verifier side: re-derive every FS challenge from the proof messages
-    with the host sponge.  root_l: (4,) digest words."""
+    with the host sponge.  root_l: (4,) digest words.
+
+    Pass a proof whose leaves are HOST numpy (e.g. straight from
+    proof_io.load): every message is read element-wise here, and each
+    ``np.asarray`` of an axon device array costs a ~6 ms tunnel round trip
+    — the per-layer pulls were most of the old 21 s verify_fs wall.  The
+    returned challenges are host numpy too, so the verifier jit ships them
+    in one batched transfer instead of ~70 eager H2D copies."""
     sp = HostSponge()
     rl = np.asarray(root_l)
     sp.absorb_pair((int(rl[0]), int(rl[1])), (int(rl[2]), int(rl[3])))
@@ -603,7 +609,7 @@ def derive_challenges(cc, proof: protocol.Proof, root_l):
         out = np.zeros((2, len(pairs)), dtype=np.uint64)
         for k, (r, i) in enumerate(pairs):
             out[0, k], out[1, k] = r, i
-        return jnp.asarray(out)
+        return out
 
     depth = cc.depth
     bl_last = cc.layers[depth - 1].bit_length

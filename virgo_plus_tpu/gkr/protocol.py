@@ -58,11 +58,16 @@ class Challenges:
 
 
 def _draw(rng: GlibcRandom, n: int):
+    """Challenges stay HOST numpy: they originate on the host rng, eager
+    jnp.stack per draw costs a device dispatch (~6 ms each through the
+    axon tunnel once the process is in sync mode — ~70 draws per
+    transcript), and every consumer is a jit that ships numpy args in one
+    batched transfer anyway."""
     vals = np.zeros((2, n), dtype=np.uint64)
     for k in range(n):
         r, i = rng.field_element()
         vals[0, k], vals[1, k] = r, i
-    return gf.from_u64(vals[0], vals[1])
+    return vals
 
 
 def make_challenges(cc: CompiledCircuit, rng: Optional[GlibcRandom] = None
@@ -831,70 +836,75 @@ def _prove_p2_combine(cc, ch, p2_res):
     return p2_out
 
 
+def _verify_fast_all(cc, proof, ch, output_values=None):
+    """All layers' succinct checks in one traced program.  Valid because
+    the previousSum entering layer i is the upper layer's Liu claim —
+    proof data, not a computed dependency — so nothing here waits on a
+    host round trip between layers.  Returns (ok, mids, final_claim,
+    final_point); ``mids`` feeds the predicate sweeps."""
+    depth = cc.depth
+    previous_sum = proof.vres
+    ok = jnp.bool_(True)
+    if output_values is not None:
+        ok = ok & jnp.all(mle_fold(output_values, ch.r_out) == proof.vres)
+    r_cur = ch.r_out
+    mids = []
+    for i in range(depth - 1, 0, -1):
+        ok_i, mid, previous_sum = verify_layer_fast(
+            cc, i, proof.layers[i], r_cur, ch.layers[i], previous_sum,
+            proof, ch)
+        ok = ok & ok_i
+        mids.append(mid)
+        r_cur = ch.layers[i].r_liu[:, :cc.layers[i - 1].bit_length]
+    return ok, mids, previous_sum, r_cur
+
+
+def _verify_slow_all(cc, proof, ch, mids):
+    """All layers' O(#gates) wiring-predicate sweeps in one traced
+    program (the reference's verify_slow_timer half)."""
+    ok = jnp.bool_(True)
+    r_cur = ch.r_out
+    for k, i in enumerate(range(cc.depth - 1, 0, -1)):
+        ok = ok & predicate_check(cc, i, proof.layers[i], r_cur,
+                                  ch.layers[i], mids[k])
+        r_cur = ch.layers[i].r_liu[:, :cc.layers[i - 1].bit_length]
+    return ok
+
+
 def make_verifier(cc: CompiledCircuit, staged: bool = True):
     """Returns verify(proof, challenges, output_values).
 
-    staged=True: one jit per layer (layers verify independently — the
-    previousSum entering layer i is the upper layer's Liu claim, which is
-    proof data), compiling in seconds; staged=False: single fused jit.
+    The whole layer walk runs as TWO device dispatches — one jit for every
+    layer's succinct round-chain/Liu checks, one for every layer's
+    O(#gates) predicate sweep — keeping the reference's fast/slow verifier
+    time split (verifier.cpp:180, verify_slow_timer verifier.h:45-46)
+    while avoiding a per-layer dispatch tax (~6 ms each through the axon
+    tunnel).  After each call ``run.last_split`` holds
+    ``(fast_seconds, slow_seconds)``.
 
-    The staged runner keeps the reference's fast/slow verifier time split
-    (verifier.cpp:180, verify_slow_timer verifier.h:45-46): the succinct
-    round-chain work and the O(#gates) predicate sweeps run as separate
-    jit groups, and after each call ``run.last_split`` holds
-    ``(fast_seconds, slow_seconds)``."""
+    staged=False: single fused jit of both halves (no split timing)."""
     if not staged:
         return jax.jit(lambda proof, ch, out: verify(cc, proof, ch, out))
 
-    fast_fns, slow_fns = {}, {}
-
-    def fast_fn(i):
-        fn = fast_fns.get(i)
-        if fn is None:
-            fn = jax.jit(
-                lambda lp, r_cur, chl, prev, proof, ch:
-                verify_layer_fast(cc, i, lp, r_cur, chl, prev, proof, ch))
-            fast_fns[i] = fn
-        return fn
-
-    def slow_fn(i):
-        fn = slow_fns.get(i)
-        if fn is None:
-            fn = jax.jit(
-                lambda lp, r_cur, chl, mid:
-                predicate_check(cc, i, lp, r_cur, chl, mid))
-            slow_fns[i] = fn
-        return fn
-
-    vres_fn = jax.jit(
-        lambda out, r_out, vres: jnp.all(mle_fold(out, r_out) == vres))
+    fast_all = jax.jit(
+        lambda proof, ch: _verify_fast_all(cc, proof, ch))
+    fast_all_out = jax.jit(
+        lambda proof, ch, out: _verify_fast_all(cc, proof, ch, out))
+    slow_all = jax.jit(
+        lambda proof, ch, mids: _verify_slow_all(cc, proof, ch, mids))
 
     def run(proof, ch, output_values=None):
-        depth = cc.depth
-        previous_sum = proof.vres
-        oks = []
         t0 = time.perf_counter()
         if output_values is not None:
-            oks.append(vres_fn(output_values, ch.r_out, proof.vres))
-        r_cur = ch.r_out
-        slow_work = []          # (i, lp, r_cur, chl, mid) for the sweeps
-        for i in range(depth - 1, 0, -1):
-            ok_i, mid, previous_sum = fast_fn(i)(
-                proof.layers[i], r_cur, ch.layers[i], previous_sum,
-                proof, ch)
-            oks.append(ok_i)
-            slow_work.append((i, proof.layers[i], r_cur, ch.layers[i], mid))
-            r_cur = ch.layers[i].r_liu[:, :cc.layers[i - 1].bit_length]
-        ok = oks[0]
-        for o in oks[1:]:
-            ok = ok & o
+            ok, mids, previous_sum, r_cur = fast_all_out(proof, ch,
+                                                         output_values)
+        else:
+            ok, mids, previous_sum, r_cur = fast_all(proof, ch)
         ok, previous_sum, r_cur = jax.block_until_ready(
             (ok, previous_sum, r_cur))
         t_fast = time.perf_counter() - t0
 
-        for i, lp, rc, chl, mid in slow_work:
-            ok = ok & slow_fn(i)(lp, rc, chl, mid)
-        ok = jax.block_until_ready(ok)
+        ok = jax.block_until_ready(ok & slow_all(proof, ch, mids))
         run.last_split = (t_fast, time.perf_counter() - t0 - t_fast)
         return ok, previous_sum, r_cur
 

@@ -87,8 +87,18 @@ def _plan_block_shards(plan: ScatterPlan, lo: int, size: int, S: int):
 def _plan_block_full(plan: ScatterPlan, lo: int, size: int):
     """The [lo, lo+size) destination block of a plan as replicated arrays
     (used for tables too small to shard); same clamped-perm + valid-mask
-    contract as _plan_block_shards."""
+    contract as _plan_block_shards.
+
+    An entirely empty plan (n == 0) gets an all-invalid single entry with
+    zero starts/ends — consumers must check ``plan_empty`` (the plan
+    object's perm length) before gathering from their source arrays, since
+    the clamped index 0 has nothing to point at when sources are empty."""
     n = len(plan.perm)
+    if n == 0:
+        return dict(perm=jnp.zeros(1, jnp.int32),
+                    valid=jnp.zeros(1, bool),
+                    starts=jnp.zeros(size, jnp.int32),
+                    ends=jnp.zeros(size, jnp.int32))
     seg_lo = int(plan.starts[lo])
     seg_hi = int(plan.ends[lo + size - 1])
     pq = plan.perm[seg_lo:seg_hi].astype(np.int32)
@@ -97,7 +107,7 @@ def _plan_block_full(plan: ScatterPlan, lo: int, size: int):
         pq = np.zeros(1, dtype=np.int32)
         seg_lo -= 1  # keep starts/ends >= 0 with the dummy entry
     valid = np.arange(len(pq)) < k
-    return dict(perm=jnp.asarray(np.minimum(pq, max(n - 1, 0))),
+    return dict(perm=jnp.asarray(np.minimum(pq, n - 1)),
                 valid=jnp.asarray(valid),
                 starts=jnp.asarray((plan.starts[lo:lo + size] -
                                     seg_lo).astype(np.int32)),
@@ -294,13 +304,20 @@ def make_sharded_prover(cc, plans, mesh: Mesh, axis: str = "sp"):
                      else ch.layers[i + 1].r_liu[:, :L.bit_length])
             bg_at = bg_maker(i, r_cur, chl)
             pll = _pl_local((arrs_sh_ if sh else arrs_rep_)[f"p1_{i}"], sh)
-            pg, pv = pll["perm"], pll["valid"][None, :]
-            bg = bg_at(pg)
-            y = values[:, arrs_rep_[f"y{i}"][pg]]
-            co = arrs_rep_[f"co{i}"][:, :, pg]
-            A, B, C, D = co[0], co[1], co[2], co[3]
-            add_c = jnp.where(pv, gf.mul(bg, gf.add(gf.mul(B, y), D)), 0)
-            mult_c = jnp.where(pv, gf.mul(bg, gf.add(A, gf.mul(C, y))), 0)
+            if len(Pl.p1.perm) == 0:
+                # empty plan: nothing scatters into this block; skip the
+                # gathers (source arrays may be empty — _plan_block_full)
+                add_c = mult_c = jnp.zeros((2, pll["perm"].shape[0]),
+                                           jnp.uint64)
+            else:
+                pg, pv = pll["perm"], pll["valid"][None, :]
+                bg = bg_at(pg)
+                y = values[:, arrs_rep_[f"y{i}"][pg]]
+                co = arrs_rep_[f"co{i}"][:, :, pg]
+                A, B, C, D = co[0], co[1], co[2], co[3]
+                add_c = jnp.where(pv, gf.mul(bg, gf.add(gf.mul(B, y), D)), 0)
+                mult_c = jnp.where(pv, gf.mul(bg, gf.add(A, gf.mul(C, y))),
+                                   0)
             vloc = (_local_slice(_values_block(values, i - 1), q, local_n)
                     if sh else _values_block(values, i - 1))
             p1_jobs.setdefault(bl_prev, []).append(
@@ -376,15 +393,21 @@ def make_sharded_prover(cc, plans, mesh: Mesh, axis: str = "sp"):
                 sh = is_sharded(bl_l)
                 src = arrs_sh_ if sh else arrs_rep_
                 pll = _pl_local(src[f"p2_{i}_{li}"], sh)
-                pg, pv = pll["perm"], pll["valid"][None, :]
-                tmp_g = gf.mul(bg_at(pg), at(tabs_u,
-                                             arrs_rep_[f"x{i}"][pg]))
-                co = arrs_rep_[f"co{i}"][:, :, pg]
-                A, B, C, D = co[0], co[1], co[2], co[3]
-                addc = jnp.where(pv, gf.mul(tmp_g,
-                                            gf.add(gf.mul(A, cu), D)), 0)
-                mulc = jnp.where(pv, gf.mul(tmp_g,
-                                            gf.add(B, gf.mul(C, cu))), 0)
+                if len(L.dad_gather_idx) and len(Pl.p2.perm):
+                    pg, pv = pll["perm"], pll["valid"][None, :]
+                    tmp_g = gf.mul(bg_at(pg), at(tabs_u,
+                                                 arrs_rep_[f"x{i}"][pg]))
+                    co = arrs_rep_[f"co{i}"][:, :, pg]
+                    A, B, C, D = co[0], co[1], co[2], co[3]
+                    addc = jnp.where(pv, gf.mul(tmp_g,
+                                                gf.add(gf.mul(A, cu), D)),
+                                     0)
+                    mulc = jnp.where(pv, gf.mul(tmp_g,
+                                                gf.add(B, gf.mul(C, cu))),
+                                     0)
+                else:           # empty plan (see _plan_block_full)
+                    addc = mulc = jnp.zeros((2, pll["perm"].shape[0]),
+                                            jnp.uint64)
                 dg = src[f"dg{i}_{li}"]
                 dgm = src[f"dgm{i}_{li}"]
                 if sh:
@@ -431,27 +454,41 @@ def make_sharded_prover(cc, plans, mesh: Mesh, axis: str = "sp"):
 # Full composed multi-chip prove (GKR + PC), mirroring driver.prove
 # ---------------------------------------------------------------------------
 
+def compile_sharded(circuit, mesh: Mesh, axis: str = "sp"):
+    """Compile the sharded prover pipelines once; pass the result to
+    prove_sharded's ``compiled=`` to reuse jits across proves (the
+    steady-state path — rebuilding per call recompiles everything)."""
+    from ..circuits.compile import compile_circuit
+    from ..gkr.protocol import build_plans
+    from . import pc_sharded
+
+    cc = compile_circuit(circuit)
+    plans = build_plans(cc)
+    bl0 = cc.layers[0].bit_length
+    return dict(cc=cc, plans=plans, bl0=bl0,
+                evaluator=protocol.make_evaluator(cc),
+                gkr=make_sharded_prover(cc, plans, mesh, axis),
+                pc=pc_sharded.sharded_pc_prove(mesh, axis, bl0))
+
+
 def prove_sharded(circuit, mesh: Mesh, axis: str = "sp", seed: int = 3396,
-                  witness: Optional[np.ndarray] = None):
+                  witness: Optional[np.ndarray] = None, compiled=None):
     """Full sharded prove: sharded GKR + sharded PC (pc_sharded) with
     query-sparse answering (sharded_queries) — codewords and Merkle trees
     stay sharded on device end to end; only the ~33 opened value-pairs and
     path digests per oracle ever move.  Returns (FullProof, info) with
     output bit-identical to driver.prove."""
-    from ..circuits.compile import compile_circuit, input_buffer
-    from ..gkr.protocol import build_plans, make_challenges
+    from ..circuits.compile import input_buffer
+    from ..gkr.protocol import make_challenges
     from ..pc import virgo_pc, vpd, fft_gkr
     from ..utils.glibc_rand import GlibcRandom
     from .. import proof_io, driver
     from . import pc_sharded
     from .sharded_queries import answer_queries_sharded
 
-    cc = compile_circuit(circuit)
-    plans = build_plans(cc)
-    bl0 = cc.layers[0].bit_length
-    evaluator = protocol.make_evaluator(cc)
-    gkr = make_sharded_prover(cc, plans, mesh, axis)
-    pc = pc_sharded.sharded_pc_prove(mesh, axis, bl0)
+    comp = compiled or compile_sharded(circuit, mesh, axis)
+    cc, bl0 = comp["cc"], comp["bl0"]
+    evaluator, gkr, pc = comp["evaluator"], comp["gkr"], comp["pc"]
     S = mesh.shape[axis]
 
     import time
@@ -485,6 +522,8 @@ def prove_sharded(circuit, mesh: Mesh, axis: str = "sp", seed: int = 3396,
                     "l_sub", "h_sub", "level_subs")
     per_dev = full_cw = 0
     for k, v in out.items():
+        if k == "final_codeword":
+            continue    # aliases level_codewords[-1] (already counted)
         for arr in (v if isinstance(v, list) else [v]):
             nb = arr.size * arr.dtype.itemsize
             per_dev += nb // S if k in sharded_keys else nb
