@@ -413,21 +413,24 @@ def run(pws_path: Optional[str] = None,
         circuit = load_circuit(pws_path, config.bug_compat)
     cp = compiled or compile_prover(circuit)
     if config.mesh is not None and config.mesh[1] > 1:
-        # multi-chip prove over an sp-axis mesh (parallel/gkr_sharded);
+        # multi-chip prove over an sp-axis mesh (parallel/gkr_sharded for
+        # the glibc stream, parallel/fs_sharded for the FS sponge);
         # verification consumes the standalone proof exactly as single-chip
-        if config.transcript == "fs":
-            raise ValueError("mesh + fs transcript is not supported yet; "
-                             "use the glibc stream for sharded proves")
         from jax.sharding import Mesh
-        from .parallel.gkr_sharded import prove_sharded
         dp, sp = config.mesh
         devs = jax.devices()
         if dp * sp > len(devs):
             raise ValueError(f"mesh {config.mesh} needs {dp * sp} devices, "
                              f"have {len(devs)}")
         mesh = Mesh(np.array(devs[:dp * sp]).reshape(dp, sp), ("dp", "sp"))
-        full, info = prove_sharded(circuit, mesh, "sp", config.seed)
-        rep = verify(circuit, full, cp, config.seed)
+        if config.transcript == "fs":
+            from .parallel.fs_sharded import prove_fs_sharded
+            full, info = prove_fs_sharded(circuit, mesh, "sp")
+            rep = verify_fs(circuit, full, cp)
+        else:
+            from .parallel.gkr_sharded import prove_sharded
+            full, info = prove_sharded(circuit, mesh, "sp", config.seed)
+            rep = verify(circuit, full, cp, config.seed)
     elif config.transcript == "fs":
         full, info = prove_fs(circuit, cp)
         rep = verify_fs(circuit, full, cp)

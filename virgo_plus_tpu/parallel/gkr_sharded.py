@@ -175,6 +175,61 @@ def _fold_group(v, a, m, rs, axis: str, log_s: int, sharded: bool):
 # The sharded prover
 # ---------------------------------------------------------------------------
 
+def _is_sharded(bl: int, log_s: int) -> bool:
+    return bl >= log_s + 1 and log_s > 0
+
+
+def layer_plan_arrays(cc, plans, i: int, S: int, log_s: int):
+    """Compile-time index/coefficient/scatter arrays for layer i, split
+    into (replicated, leading-S-sharded) dicts — shared by the glibc
+    (make_sharded_prover) and FS (fs_sharded) sharded provers."""
+    arrs_rep, arrs_sh = {}, {}
+    L = cc.layers[i]
+    Pl = plans[i]
+    bl_prev = cc.layers[i - 1].bit_length
+    pre_padded = cc.layers[i - 1].padded
+    arrs_rep[f"x{i}"] = jnp.asarray(L.x_idx)
+    arrs_rep[f"y{i}"] = jnp.asarray(L.y_idx)
+    arrs_rep[f"co{i}"] = jnp.asarray(L.coeff)
+    if L.has_assert:
+        arrs_rep[f"ia{i}"] = jnp.asarray(np.asarray(L.is_assert))
+    tgt = arrs_sh if _is_sharded(bl_prev, log_s) else arrs_rep
+    if _is_sharded(bl_prev, log_s):
+        tgt[f"p1_{i}"] = _plan_block_shards(Pl.p1, 0, pre_padded, S)
+        if Pl.liu_plan is not None:
+            tgt[f"liu_{i}"] = _plan_block_shards(Pl.liu_plan, 0,
+                                                 pre_padded, S)
+    else:
+        tgt[f"p1_{i}"] = _plan_block_full(Pl.p1, 0, pre_padded)
+        if Pl.liu_plan is not None:
+            tgt[f"liu_{i}"] = _plan_block_full(Pl.liu_plan, 0,
+                                               pre_padded)
+    if Pl.p2 is not None:
+        dg = np.asarray(L.dad_gather_idx)
+        for li in range(i):
+            if L.dad_sizes[li] == 0:
+                continue
+            bl_l = L.dad_bls[li]
+            off = L.dad_offsets[li]
+            blk_n = 1 << bl_l
+            idx = np.maximum(dg[off:off + blk_n], 0)
+            msk = (dg[off:off + blk_n] >= 0)
+            if _is_sharded(bl_l, log_s):
+                arrs_sh[f"p2_{i}_{li}"] = _plan_block_shards(
+                    Pl.p2, off, blk_n, S)
+                arrs_sh[f"dg{i}_{li}"] = jnp.asarray(
+                    idx.reshape(S, -1).astype(np.int32))
+                arrs_sh[f"dgm{i}_{li}"] = jnp.asarray(
+                    msk.reshape(S, -1))
+            else:
+                arrs_rep[f"p2_{i}_{li}"] = _plan_block_full(
+                    Pl.p2, off, blk_n)
+                arrs_rep[f"dg{i}_{li}"] = jnp.asarray(
+                    idx.astype(np.int32))
+                arrs_rep[f"dgm{i}_{li}"] = jnp.asarray(msk)
+    return arrs_rep, arrs_sh
+
+
 def make_sharded_prover(cc, plans, mesh: Mesh, axis: str = "sp"):
     """Returns run(values, ch) -> protocol.Proof with every fold-table init
     and every fold sharded over `axis` (bit-exact vs protocol.prove)."""
@@ -194,56 +249,15 @@ def make_sharded_prover(cc, plans, mesh: Mesh, axis: str = "sp"):
                 p2_groups.setdefault(L.dad_bls[li], []).append((i, li))
 
     def is_sharded(bl):
-        return bl >= log_s + 1 and log_s > 0
+        return _is_sharded(bl, log_s)
 
     # ---- compile-time arrays ------------------------------------------
     arrs_rep = {}   # replicated inputs
     arrs_sh = {}    # leading-S inputs, sharded over `axis`
     for i in range(1, depth):
-        L = cc.layers[i]
-        Pl = plans[i]
-        bl_prev = cc.layers[i - 1].bit_length
-        pre_padded = cc.layers[i - 1].padded
-        arrs_rep[f"x{i}"] = jnp.asarray(L.x_idx)
-        arrs_rep[f"y{i}"] = jnp.asarray(L.y_idx)
-        arrs_rep[f"co{i}"] = jnp.asarray(L.coeff)
-        if L.has_assert:
-            arrs_rep[f"ia{i}"] = jnp.asarray(np.asarray(L.is_assert))
-        key = "sh" if is_sharded(bl_prev) else "rep"
-        tgt = arrs_sh if key == "sh" else arrs_rep
-        if is_sharded(bl_prev):
-            tgt[f"p1_{i}"] = _plan_block_shards(Pl.p1, 0, pre_padded, S)
-            if Pl.liu_plan is not None:
-                tgt[f"liu_{i}"] = _plan_block_shards(Pl.liu_plan, 0,
-                                                     pre_padded, S)
-        else:
-            tgt[f"p1_{i}"] = _plan_block_full(Pl.p1, 0, pre_padded)
-            if Pl.liu_plan is not None:
-                tgt[f"liu_{i}"] = _plan_block_full(Pl.liu_plan, 0,
-                                                   pre_padded)
-        if Pl.p2 is not None:
-            dg = np.asarray(L.dad_gather_idx)
-            for li in range(i):
-                if L.dad_sizes[li] == 0:
-                    continue
-                bl_l = L.dad_bls[li]
-                off = L.dad_offsets[li]
-                blk_n = 1 << bl_l
-                idx = np.maximum(dg[off:off + blk_n], 0)
-                msk = (dg[off:off + blk_n] >= 0)
-                if is_sharded(bl_l):
-                    arrs_sh[f"p2_{i}_{li}"] = _plan_block_shards(
-                        Pl.p2, off, blk_n, S)
-                    arrs_sh[f"dg{i}_{li}"] = jnp.asarray(
-                        idx.reshape(S, -1).astype(np.int32))
-                    arrs_sh[f"dgm{i}_{li}"] = jnp.asarray(
-                        msk.reshape(S, -1))
-                else:
-                    arrs_rep[f"p2_{i}_{li}"] = _plan_block_full(
-                        Pl.p2, off, blk_n)
-                    arrs_rep[f"dg{i}_{li}"] = jnp.asarray(
-                        idx.astype(np.int32))
-                    arrs_rep[f"dgm{i}_{li}"] = jnp.asarray(msk)
+        rep_i, sh_i = layer_plan_arrays(cc, plans, i, S, log_s)
+        arrs_rep.update(rep_i)
+        arrs_sh.update(sh_i)
 
     one = gf.ones(())
 
