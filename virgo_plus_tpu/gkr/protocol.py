@@ -250,14 +250,18 @@ def _batched_betas(jobs):
     return out
 
 
-def _scale_beta_asserts(cc, i, bg, assert_r):
+def _scale_beta_asserts(cc, i, bg, assert_r, mask=None):
+    """mask: optional pre-built device bool mask (verifier_arrays) so
+    jitted callers avoid closure-captured constants."""
     L = cc.layers[i]
     if not L.has_assert:
         return bg
-    mask = np.zeros(bg.shape[1], dtype=bool)
-    mask[:L.size] = L.is_assert
+    if mask is None:
+        m = np.zeros(bg.shape[1], dtype=bool)
+        m[:L.size] = L.is_assert
+        mask = jnp.asarray(m)
     scaled = gf.mul(bg, assert_r[:, None])
-    return jnp.where(jnp.asarray(mask)[None, :], scaled, bg)
+    return jnp.where(mask[None, :], scaled, bg)
 
 
 def prove(cc: CompiledCircuit, plans, values, ch: Challenges,
@@ -396,39 +400,87 @@ def _check_round_chain(polys, rs, previous_sum):
     return ok, previous_sum
 
 
+def verifier_arrays(cc: CompiledCircuit) -> dict:
+    """Per-layer index/coefficient arrays the verifier needs, as one
+    pytree passed into make_verifier's two jits as ARGUMENTS — closure
+    capture would inline them as dense MLIR constants (multi-MB modules
+    that stall/OOM the TPU AOT compile helper; same rule as
+    circuit_arrays)."""
+    src = cc.source
+    arrs = {}
+    for i in range(1, cc.depth):
+        L = cc.layers[i]
+        arrs[f"vx{i}"] = jnp.asarray(L.x_idx)
+        arrs[f"vco{i}"] = jnp.asarray(L.coeff)
+        if L.has_assert:
+            mask = np.zeros(1 << L.bit_length, dtype=bool)
+            mask[:L.size] = L.is_assert
+            arrs[f"via{i}"] = jnp.asarray(mask)
+        if L.max_dad_bit_length >= 0:
+            arrs[f"vlv{i}"] = jnp.asarray(
+                np.where(np.asarray(src.layers[i].l) < 0, 0,
+                         np.asarray(src.layers[i].lv)).astype(np.int32))
+            arrs[f"vsl{i}"] = jnp.asarray(
+                np.where(np.asarray(src.layers[i].l) < 0, i - 1,
+                         np.asarray(src.layers[i].l)).astype(np.int32))
+    for j in range(1, cc.depth):
+        Lj = src.layers[j]
+        for i1 in range(len(Lj.dad_size)):
+            if Lj.dad_size[i1] > 0:
+                arrs[f"vdad{j}_{i1}"] = jnp.asarray(
+                    Lj.dad_id[i1].astype(np.int32))
+    return arrs
+
+
 def predicate_check(cc: CompiledCircuit, i: int, lp: LayerProof,
-                    r_cur, ch: LayerChallenges, previous_sum_mid):
+                    r_cur, ch: LayerChallenges, previous_sum_mid,
+                    varrs: dict = None):
     """The O(#gates) wiring-predicate sweep (verifier.cpp:63-132, 160-166).
 
     This is the reference's "slow" verifier cost (verify_slow_timer,
     verifier.h:45-46), kept separable so the driver can time it apart from
     the succinct round-chain checks.  It is a pure side-check: it consumes
     the previousSum value reached after the phase-2 rounds and produces
-    only a boolean — nothing downstream depends on it."""
+    only a boolean — nothing downstream depends on it.
+
+    varrs: verifier_arrays(cc), passed as jit arguments; None falls back
+    to closure capture (small circuits / CPU only)."""
     L = cc.layers[i]
     src = cc.source
     bl_prev = cc.layers[i - 1].bit_length
     one = gf.ones(())
 
     bg = beta_table(r_cur, L.bit_length, one)
-    bg = _scale_beta_asserts(cc, i, bg, ch.assert_r)
+    bg = _scale_beta_asserts(
+        cc, i, bg, ch.assert_r,
+        mask=None if varrs is None else varrs.get(f"via{i}"))
     bg = bg[:, :L.size]
     bu = beta_table(ch.r_u[:, :bl_prev], bl_prev, one)
-    w = gf.mul(bg, bu[:, L.x_idx])
+    x_idx = L.x_idx if varrs is None else varrs[f"vx{i}"]
+    w = gf.mul(bg, bu[:, x_idx])
     if L.max_dad_bit_length >= 0:
         bv = beta_table(ch.r_v[:, :L.max_dad_bit_length],
                         L.max_dad_bit_length, one)
-        lv_flat = np.where(np.asarray(src.layers[i].l) < 0, 0,
-                           np.asarray(src.layers[i].lv))
-        w = gf.mul(w, bv[:, jnp.asarray(lv_flat.astype(np.int32))])
+        if varrs is None:
+            lv_flat = jnp.asarray(
+                np.where(np.asarray(src.layers[i].l) < 0, 0,
+                         np.asarray(src.layers[i].lv)).astype(np.int32))
+        else:
+            lv_flat = varrs[f"vlv{i}"]
+        w = gf.mul(w, bv[:, lv_flat])
     cu = lp.claim_u[:, None]
     if lp.claims_v is not None and lp.claims_v.shape[0] > 0:
-        src_l = np.where(np.asarray(src.layers[i].l) < 0, i - 1,
-                         np.asarray(src.layers[i].l)).astype(np.int32)
-        cv = lp.claims_v.T[:, jnp.asarray(src_l)]  # (4, N)
+        if varrs is None:
+            src_l = jnp.asarray(
+                np.where(np.asarray(src.layers[i].l) < 0, i - 1,
+                         np.asarray(src.layers[i].l)).astype(np.int32))
+        else:
+            src_l = varrs[f"vsl{i}"]
+        cv = lp.claims_v.T[:, src_l]  # (4, N)
     else:
         cv = jnp.zeros((2, L.size), jnp.uint64)
-    A, B, C, D = L.coeff[0], L.coeff[1], L.coeff[2], L.coeff[3]
+    co = L.coeff if varrs is None else varrs[f"vco{i}"]
+    A, B, C, D = co[0], co[1], co[2], co[3]
     gate_val = gf.add(gf.add(gf.mul(A, cu), gf.mul(B, cv)),
                       gf.add(gf.mul(C, gf.mul(cu, cv)), D))
     test_value = tree_sum(gf.mul(w, gate_val))
@@ -437,11 +489,12 @@ def predicate_check(cc: CompiledCircuit, i: int, lp: LayerProof,
 
 def verify_layer_fast(cc: CompiledCircuit, i: int, lp: LayerProof,
                       r_cur, ch: LayerChallenges, previous_sum,
-                      proof: "Proof", ch_all: Challenges):
+                      proof: "Proof", ch_all: Challenges,
+                      varrs: dict = None):
     """The succinct half of one layer's verification: round chains + Liu
     (verifier.cpp:191-337 minus the predicate sweeps).  Returns
     (ok, previous_sum_mid, new_sum) where previous_sum_mid is the value the
-    predicate sweep must reproduce."""
+    predicate sweep must reproduce.  varrs: see predicate_check."""
     L = cc.layers[i]
     src = cc.source
     bl_prev = cc.layers[i - 1].bit_length
@@ -484,7 +537,9 @@ def verify_layer_fast(cc: CompiledCircuit, i: int, lp: LayerProof,
         bl_jl = Lj.dad_bit_length[i - 1]
         ch_j = ch_all.layers[j]
         bt = beta_table(ch_j.r_v[:, :bl_jl], bl_jl, sig[:, j - i + 1])
-        gathered = bu_liu[:, jnp.asarray(Lj.dad_id[i - 1].astype(np.int32))]
+        dad_id = (jnp.asarray(Lj.dad_id[i - 1].astype(np.int32))
+                  if varrs is None else varrs[f"vdad{j}_{i - 1}"])
+        gathered = bu_liu[:, dad_id]
         gr = gf.add(gr, tree_sum(gf.mul(bt[:, :ds], gathered)))
     ok5 = jnp.all(gf.mul(lp.liu_claim, gr) == previous_sum)
     previous_sum = lp.liu_claim
@@ -836,7 +891,7 @@ def _prove_p2_combine(cc, ch, p2_res):
     return p2_out
 
 
-def _verify_fast_all(cc, proof, ch, output_values=None):
+def _verify_fast_all(cc, proof, ch, output_values=None, varrs=None):
     """All layers' succinct checks in one traced program.  Valid because
     the previousSum entering layer i is the upper layer's Liu claim —
     proof data, not a computed dependency — so nothing here waits on a
@@ -852,21 +907,21 @@ def _verify_fast_all(cc, proof, ch, output_values=None):
     for i in range(depth - 1, 0, -1):
         ok_i, mid, previous_sum = verify_layer_fast(
             cc, i, proof.layers[i], r_cur, ch.layers[i], previous_sum,
-            proof, ch)
+            proof, ch, varrs)
         ok = ok & ok_i
         mids.append(mid)
         r_cur = ch.layers[i].r_liu[:, :cc.layers[i - 1].bit_length]
     return ok, mids, previous_sum, r_cur
 
 
-def _verify_slow_all(cc, proof, ch, mids):
+def _verify_slow_all(cc, proof, ch, mids, varrs=None):
     """All layers' O(#gates) wiring-predicate sweeps in one traced
     program (the reference's verify_slow_timer half)."""
     ok = jnp.bool_(True)
     r_cur = ch.r_out
     for k, i in enumerate(range(cc.depth - 1, 0, -1)):
         ok = ok & predicate_check(cc, i, proof.layers[i], r_cur,
-                                  ch.layers[i], mids[k])
+                                  ch.layers[i], mids[k], varrs)
         r_cur = ch.layers[i].r_liu[:, :cc.layers[i - 1].bit_length]
     return ok
 
@@ -886,25 +941,28 @@ def make_verifier(cc: CompiledCircuit, staged: bool = True):
     if not staged:
         return jax.jit(lambda proof, ch, out: verify(cc, proof, ch, out))
 
+    varrs = verifier_arrays(cc)
     fast_all = jax.jit(
-        lambda proof, ch: _verify_fast_all(cc, proof, ch))
+        lambda proof, ch, va: _verify_fast_all(cc, proof, ch, varrs=va))
     fast_all_out = jax.jit(
-        lambda proof, ch, out: _verify_fast_all(cc, proof, ch, out))
+        lambda proof, ch, out, va: _verify_fast_all(cc, proof, ch, out, va))
     slow_all = jax.jit(
-        lambda proof, ch, mids: _verify_slow_all(cc, proof, ch, mids))
+        lambda proof, ch, mids, va: _verify_slow_all(cc, proof, ch, mids,
+                                                     va))
 
     def run(proof, ch, output_values=None):
         t0 = time.perf_counter()
         if output_values is not None:
             ok, mids, previous_sum, r_cur = fast_all_out(proof, ch,
-                                                         output_values)
+                                                         output_values,
+                                                         varrs)
         else:
-            ok, mids, previous_sum, r_cur = fast_all(proof, ch)
+            ok, mids, previous_sum, r_cur = fast_all(proof, ch, varrs)
         ok, previous_sum, r_cur = jax.block_until_ready(
             (ok, previous_sum, r_cur))
         t_fast = time.perf_counter() - t0
 
-        ok = jax.block_until_ready(ok & slow_all(proof, ch, mids))
+        ok = jax.block_until_ready(ok & slow_all(proof, ch, mids, varrs))
         run.last_split = (t_fast, time.perf_counter() - t0 - t_fast)
         return ok, previous_sum, r_cur
 
