@@ -30,7 +30,7 @@ BENCHES = {
     "bench": (["bench.py"], 3600),
     "verify": (["benches/verify_bench.py"], 3600),
     "micro": (["benches/micro.py"], 3600),
-    "fs": (["benches/fs_bench.py"], 3600),
+    "fs": (["benches/fs_bench.py"], 7200),
     "stress": (["benches/stress.py"], 5400),
     "batched": (["benches/batched_full.py"], 7200),
     "large": (["benches/large.py"], 7200),
